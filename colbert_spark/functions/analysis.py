@@ -1,0 +1,134 @@
+"""Text analysis: deterministic tokenization + HTML text extraction.
+
+Reference parity:
+- doc tokenization: colbert/modeling/tokenization/doc_tokenization.py:48-62
+  (WordPiece there; deterministic lowercase word tokenization here — the
+  engine is lexical, so the tokenizer is the analysis chain, not a model).
+- punctuation skiplist: colbert/modeling/colbert.py:27-29 — here punctuation
+  simply never survives the split regex.
+- byte-identical extraction per url (BASELINE.json input_hint): extract_text
+  is a pure function of the html bytes — no locale, hash-seed, or ordering
+  dependence.
+
+The SAME token rule must hold in three places: Spark (JVM regex), the DuckDB
+oracle SQL, and the pure-Python test oracle. All three use:
+    lower(text) split on '[^a-z0-9]+', drop empty strings.
+Keep TOKEN_SPLIT_RE in sync with oracle_sql() in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# One regex, three engines (Java, DuckDB RE2, Python re). Intersection of
+# their semantics: character-class split, no lookaround, no unicode classes.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+#: Default truncation: reference doc_maxlen (settings.py:113) = 220 tokens.
+DOC_MAXLEN = 220
+#: Reference query_maxlen (settings.py:119) = 32 tokens.
+QUERY_MAXLEN = 32
+
+
+def tokens(col: Column | str, maxlen: int | None = None) -> Column:
+    """Tokenize a text column → array<string>, entirely JVM-side.
+
+    lower → regex split → drop empties → optional truncation to maxlen
+    (the reference truncates docs to doc_maxlen-1 content tokens,
+    doc_tokenization.py:51; we keep plain maxlen and document it).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
+    if maxlen is not None:
+        arr = F.slice(arr, 1, maxlen)
+    return arr
+
+
+def doclen(col: Column | str, maxlen: int | None = None) -> Column:
+    """Token count of a text column (BM25 |d|)."""
+    return F.size(tokens(col, maxlen))
+
+
+def tokenize_docs(
+    docs: DataFrame,
+    id_col: str = "pid",
+    text_col: str = "text",
+    maxlen: int | None = None,
+) -> DataFrame:
+    """docs(id, text) → (id, term, tf, doclen): the term-frequency multiset.
+
+    This is the lexical analog of the reference's per-passage embedding
+    matrix (colbert/modeling/colbert.py:95-115): one row per distinct term
+    per document instead of one vector per token. Pure DataFrame ops —
+    explode + groupBy gives Catalyst partial aggregation (map-side combine)
+    for free.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        tokens(text_col, maxlen).alias("_terms"),
+    ).withColumn("doclen", F.size("_terms"))
+    return (
+        toks.select(id_col, "doclen", F.explode("_terms").alias("term"))
+        .groupBy(id_col, "term", "doclen")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def python_tokenize(text: str, maxlen: int | None = None) -> list[str]:
+    """Pure-Python mirror of tokens(); used by test oracles only."""
+    import re
+
+    out = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+    return out[:maxlen] if maxlen is not None else out
+
+
+# --- HTML text extraction (input_hint invariant) -------------------------
+
+def extract_text_from_html(html: bytes) -> str:
+    """Extract visible text from html bytes; PURE function of the bytes.
+
+    Deliberately simple and deterministic (no external parser): strip
+    <script>/<style> blocks, drop tags, decode a fixed entity set, collapse
+    whitespace. Byte-identical output per identical input is the contract
+    (BASELINE.json input_hint), not HTML5 fidelity.
+    """
+    import re
+
+    s = html.decode("utf-8", errors="replace")
+    s = re.sub(r"(?is)<(script|style)\b.*?</\1\s*>", " ", s)
+    s = re.sub(r"(?s)<!--.*?-->", " ", s)
+    s = re.sub(r"(?s)<[^>]*>", " ", s)
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        s = s.replace(ent, ch)
+    return " ".join(s.split())
+
+
+def with_extracted_text(
+    docs: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Add/replace a text column extracted from an html binary column.
+
+    Arrow-vectorized mapInPandas (no per-row Python UDF dispatch); schema
+    is preserved plus/replacing out_col.
+    """
+    fields = [f for f in docs.schema.fields if f.name != out_col]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    out_schema += f", {out_col} string"
+    names = [f.name for f in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = pdf[names].copy()
+            res[out_col] = pdf[html_col].map(
+                lambda b: extract_text_from_html(bytes(b))
+            )
+            yield res
+
+    return docs.mapInPandas(run, schema=out_schema)

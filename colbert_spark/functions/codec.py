@@ -1,0 +1,95 @@
+"""Delta-gap + varint posting-list codec (numpy-vectorized).
+
+The lexical analog of the reference's residual codec
+(colbert/indexing/codecs/residual.py:167-276: bucketize + packbits on
+compress, LUT unpack on decompress). Here: sorted pids → first-differences
+(delta-gap) → LEB128 varint bytes; tfs → varint bytes. encode/decode are
+exact inverses (mirrors the compress/decompress inverse-pair test surface).
+
+All hot paths are numpy array ops — no per-element Python in encode
+(decode uses a tight loop over the byte array via numpy cumulative tricks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array → bytes. Vectorized: compute per-value
+    byte counts, allocate once, scatter 7-bit groups."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlength/7), min 1
+    bits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        bits[nz] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(bits, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    shifted = v.copy()
+    max_len = int(nbytes.max())
+    for k in range(max_len):
+        mask = nbytes > k
+        idx = offsets[:-1][mask] + k
+        byte = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
+        more = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[idx] = byte | more
+        shifted[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(data: bytes) -> np.ndarray:
+    """Inverse of varint_encode → uint64 array. Vectorized via group ids:
+    continuation bits mark value boundaries; per-group 7-bit shifts are
+    reconstructed with cumcount arithmetic."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    cont = (buf & 0x80) != 0
+    # value id of each byte: number of terminated values before it
+    ends = ~cont
+    value_id = np.concatenate(([0], np.cumsum(ends)[:-1]))
+    # position of the byte within its value
+    starts = np.concatenate(([True], ends[:-1]))
+    pos = np.arange(buf.size) - np.maximum.accumulate(
+        np.where(starts, np.arange(buf.size), -1)
+    )
+    parts = (buf & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    n_values = int(ends.sum())
+    out = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(out, value_id, parts)
+    return out
+
+
+def encode_pids(pids: np.ndarray) -> bytes:
+    """Sorted pid array → delta-gap varint bytes (first value absolute)."""
+    p = np.asarray(pids, dtype=np.int64)
+    if p.size == 0:
+        return b""
+    gaps = np.empty_like(p)
+    gaps[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=gaps[1:])
+    if (gaps[1:] <= 0).any():
+        raise ValueError("pids must be strictly increasing")
+    return varint_encode(gaps.astype(np.uint64))
+
+
+def decode_pids(data: bytes) -> np.ndarray:
+    """Inverse of encode_pids → int64 sorted pid array."""
+    gaps = varint_decode(data).astype(np.int64)
+    return np.cumsum(gaps)
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    return varint_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def decode_tfs(data: bytes) -> np.ndarray:
+    return varint_decode(data).astype(np.int64)

@@ -1,0 +1,105 @@
+"""Brute-force distributed BM25 top-k — the flagship end-to-end query.
+
+This is the Spark-first rewrite of Searcher.search_all
+(colbert/searcher.py:69-104): where the reference loops queries serially
+through dense_search, here ALL queries score in one distributed plan:
+
+    queries --tokenize--> query terms (tiny, broadcast)
+    documents --tokenize--> (pid, term, tf, doclen)      [shuffle 1: groupBy]
+    postings ⋈ broadcast(qterms) on term                 [broadcast hash join]
+    groupBy(qid, pid).sum(term_score)                    [shuffle 2: score agg]
+    window rank (-score, pid), filter rank<=k            [shuffle 3: by qid]
+
+Only the two aggregation shuffles touch corpus-sized data; the join is
+broadcast (query side is tiny), so no corpus shuffle for the join itself.
+Scores are float64, rounded to SCORE_DECIMALS before ranking so rankings
+are reproducible across engines (SURVEY.md §7.3); tiebreak (-score, pid)
+per reference server.py:34.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from colbert_spark.functions import analysis, bm25
+
+
+def query_terms(queries: DataFrame, query_maxlen: int | None = 32) -> DataFrame:
+    """queries(qid, text) → (qid, term) distinct query terms.
+
+    Lexical analog of query encoding (query_tokenization.py:52-111); the
+    [MASK] query-expansion has no lexical counterpart (SURVEY.md §2.8 X2).
+    """
+    return queries.select(
+        "qid",
+        F.explode(analysis.tokens("text", query_maxlen)).alias("term"),
+    ).distinct()
+
+
+def corpus_stats(token_df: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) from the tokenized corpus (pid, term, tf, doclen).
+
+    One pass over distinct pids; analog of the reference's avg_doclen
+    estimation + all_reduce (collection_indexer.py:133-183) — exact here,
+    Catalyst does partial/final agg across partitions.
+    """
+    row = (
+        token_df.groupBy("pid").agg(F.first("doclen").alias("doclen"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("doclen").alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), float(row["avgdl"])
+
+
+def term_stats(token_df: DataFrame) -> DataFrame:
+    """(term, df, cf): document & collection frequency per term — the term
+    dictionary (analog of k-means centroid training, SURVEY.md A5)."""
+    return token_df.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "pid",
+    text_col: str = "text",
+    doc_maxlen: int | None = 220,
+    query_maxlen: int | None = 32,
+) -> DataFrame:
+    """All-queries BM25 top-k → ranking(qid, pid, rank, score).
+
+    Self-contained (tokenizes docs on the fly). For repeated querying use
+    the Indexer/Searcher pair, which materializes the postings.
+    """
+    token_df = analysis.tokenize_docs(docs, id_col=id_col, text_col=text_col,
+                                      maxlen=doc_maxlen)
+    n, avgdl = corpus_stats(token_df)
+    tstats = term_stats(token_df)
+    qterms = query_terms(queries, query_maxlen)
+
+    # attach idf to the (tiny) query-term side, then broadcast it
+    qt = qterms.join(tstats, "term", "inner").select(
+        "qid", "term", bm25.idf(F.col("df"), n).alias("idf")
+    )
+
+    scored = token_df.join(F.broadcast(qt), "term").select(
+        "qid",
+        F.col(id_col).alias("pid"),
+        bm25.term_score(F.col("tf"), F.col("doclen"), avgdl, F.col("idf")).alias("s"),
+    )
+    agg = scored.groupBy("qid", "pid").agg(
+        F.round(F.sum("s"), bm25.SCORE_DECIMALS).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "pid", "rank", "score")
+    )

@@ -1,0 +1,154 @@
+"""Posting-list construction: tokenize → term dict → salted block build.
+
+The Spark rebuild of the reference's index phase
+(colbert/indexing/collection_indexer.py: setup :80-112 / train :226-339 /
+index :346-376 / finalize :378-497):
+
+  setup    → corpus stats (N, avgdl) — exact, not sampled (Catalyst partial
+             aggregation makes the exact pass as cheap as the sample).
+  train    → term dictionary (term → term_id, df, cf, idf). Replaces
+             k-means centroid training (A5): the "partitions" of the index
+             are terms, not centroids.
+  index    → delta-gap varint posting BLOCKS with per-block max BM25 score
+             (block-max metadata), built per (term_id, salt) group with
+             applyInPandas; numpy inside, Arrow on the wire.
+  finalize → global sort-by-(bucket, term_id) write + manifest + metadata.
+
+Skew (north_rule; SURVEY.md §4.4): a head term ("the"/t00000) may hit >50%
+of docs — a single groupBy(term) group would be one straggler task. Terms
+whose df exceeds config.salt_df_threshold are built under composite key
+(term_id, salt = pmod(hash(pid), S)): S parallel sub-builds, each emitting
+pid-sorted blocks. Blocks are self-contained (pids+tfs+doclens inline), so
+no post-merge is required — the union of the S salted runs IS the posting
+list, and query-time decode treats blocks independently.
+
+term_id = xxhash64(term): deterministic, shuffle-free id assignment.
+Collision probability at 10^8 terms ≈ 3e-4 (birthday, 64-bit); the build
+asserts distinct(term) == distinct(term_id) on the term dict and fails
+loudly rather than silently merging two terms' postings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from colbert_spark.functions import analysis, bm25
+from colbert_spark.functions.codec import encode_pids, encode_tfs
+from colbert_spark.plans.config import ColBERTConfig
+from colbert_spark.sources.catalog import POSTINGS_SCHEMA
+
+
+def tokenize(docs: DataFrame, config: ColBERTConfig,
+             id_col: str = "pid", text_col: str = "text") -> DataFrame:
+    """(pid, term, doclen, tf) — shared first stage of every build."""
+    return analysis.tokenize_docs(docs, id_col=id_col, text_col=text_col,
+                                  maxlen=config.doc_maxlen)
+
+
+def build_term_dict(token_df: DataFrame, num_docs: int) -> DataFrame:
+    """(term, term_id, df, cf, idf). idf is frozen into the dictionary so
+    query time never recomputes corpus math."""
+    return token_df.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    ).select(
+        "term",
+        F.xxhash64("term").alias("term_id"),
+        "df",
+        "cf",
+        bm25.idf(F.col("df"), num_docs).alias("idf"),
+    )
+
+
+def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
+    """applyInPandas kernel: one (term_id, salt) group → block rows.
+
+    Receives (term_id, pid, tf, doclen, idf); emits POSTINGS_SCHEMA rows.
+    Pure numpy; no per-row Python.
+    """
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["pid"].to_numpy(), kind="stable")
+        pids = pdf["pid"].to_numpy()[order].astype(np.int64)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+        dls = pdf["doclen"].to_numpy()[order].astype(np.int64)
+        term_id = int(pdf["term_id"].iloc[0])
+        salt = int(pdf["salt"].iloc[0])
+        idf = float(pdf["idf"].iloc[0])
+
+        # exact per-posting BM25 term scores (float64) → block max
+        tff = tfs.astype(np.float64)
+        dlf = dls.astype(np.float64)
+        scores = idf * tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlf / avgdl))
+
+        rows = []
+        n = pids.size
+        for i, start in enumerate(range(0, n, block_size)):
+            sl = slice(start, min(start + block_size, n))
+            bp, bt, bd = pids[sl], tfs[sl], dls[sl]
+            rows.append(
+                (
+                    term_id,
+                    (salt << 32) | i,  # unique block id across salt runs
+                    int(bp[0]),
+                    int(bp[-1]),
+                    int(bp.size),
+                    float(scores[sl].max()),
+                    encode_pids(bp),
+                    encode_tfs(bt),
+                    encode_tfs(bd),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term_id", "block_id", "first_pid", "last_pid",
+                "num_postings", "max_block_score", "pids", "tfs", "dls",
+            ],
+        )
+
+    return build
+
+
+def build_postings(
+    token_df: DataFrame,
+    term_dict: DataFrame,
+    avgdl: float,
+    config: ColBERTConfig,
+) -> DataFrame:
+    """token_df (pid, term, doclen, tf) → posting-block DataFrame.
+
+    Salting: high-df terms get salt = pmod(xxhash64(pid), S); others salt 0.
+    The groupBy key (term_id, salt) keeps every group ≤ df/S postings, so no
+    straggler task at any skew. Returns blocks WITH a `bucket` column for
+    partition-pruned storage.
+    """
+    heavy = term_dict.select(
+        "term", "term_id", "idf",
+        (F.col("df") > config.salt_df_threshold).alias("heavy"),
+    )
+    enriched = token_df.join(F.broadcast(heavy), "term").select(
+        "term_id", "pid", "tf", "doclen", "idf",
+        F.when(
+            F.col("heavy"),
+            F.pmod(F.xxhash64("pid"), F.lit(config.salt_buckets)),
+        ).otherwise(F.lit(0)).cast("long").alias("salt"),
+    )
+    kernel = _make_block_builder(config.block_size, avgdl, config.k1, config.b)
+    blocks = enriched.repartition(
+        config.shuffle_partitions, "term_id", "salt"
+    ).groupBy("term_id", "salt").applyInPandas(kernel, schema=POSTINGS_SCHEMA)
+    return blocks.withColumn(
+        "bucket", F.pmod(F.col("term_id"), F.lit(config.index_partitions))
+    )
+
+
+def doc_stats(token_df: DataFrame) -> DataFrame:
+    """(pid, doclen) — one row per doc (analog of doclens.{chunk}.json,
+    collection_indexer.py:349-356)."""
+    return token_df.groupBy("pid").agg(F.first("doclen").alias("doclen"))

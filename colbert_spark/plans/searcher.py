@@ -1,0 +1,140 @@
+"""Searcher — top-k retrieval over a built index (colbert/searcher.py parity).
+
+API surface:
+    Searcher(index=name, config=...) .search(text, k) → (pids, ranks, scores)
+    .search_all(queries, k)          → Ranking          (searcher.py:69-104)
+with optional pid allow-lists (pids= / qid_to_pids=, searcher.py:65-94 F3).
+
+Where the reference loops queries serially through dense_search
+(searcher.py:77-104), search_all here is ONE distributed job. Plan shape:
+
+    queries → terms ⋈ broadcast(term_dict slice)  [tiny]
+    postings scan: bucket ∈ query buckets AND term_id ∈ query terms
+      → partition pruning (bucket=) + row-group min/max pruning (term_id);
+      only the query's posting blocks are ever read.
+    gather mode:  blocks ⋈ broadcast(qterms) → groupBy(qid) applyInPandas
+                  MaxScore kernel (block-max skipping) → exact top-k.
+    scatter mode: decode once per block, broadcast-join idf, relational agg.
+
+The reference's k-dependent funnel knobs (ncells/threshold/ndocs,
+searcher.py:106-127) have no free parameters here: block-max pruning is
+exact, so there is nothing to tune for quality.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from colbert_spark.functions import analysis
+from colbert_spark.operators import wand
+from colbert_spark.plans.config import ColBERTConfig
+from colbert_spark.sources.catalog import IndexCatalog
+from colbert_spark.sources.ranking import Ranking
+
+
+class Searcher:
+    def __init__(
+        self,
+        index: str,
+        spark: SparkSession,
+        config: ColBERTConfig | None = None,
+    ):
+        self.spark = spark
+        base = ColBERTConfig.from_existing(config)
+        base.index_name = index
+        self.config = base
+        self.catalog = IndexCatalog(base.index_path())
+        meta = self.catalog.read_json("metadata.json")
+        self.num_docs: int = meta["num_docs"]
+        self.avgdl: float = meta["avg_doclen"]
+        self.term_dict = self.catalog.read(spark, "term_dict").persist()
+        self.term_dict.count()  # materialize once
+
+    # -- query encoding (lexical analog of Searcher.encode) ----------------
+    def _query_terms(self, queries: DataFrame) -> DataFrame:
+        """(qid, term_id, idf) for in-dictionary distinct query terms."""
+        qt = queries.select(
+            "qid",
+            F.explode(
+                analysis.tokens("text", self.config.query_maxlen)
+            ).alias("term"),
+        ).distinct()
+        return qt.join(self.term_dict.select("term", "term_id", "idf"), "term") \
+                 .select("qid", "term_id", "idf")
+
+    def _candidate_blocks(self, qterms: DataFrame) -> DataFrame:
+        """Postings scan pruned to the query terms' buckets + term ids."""
+        tids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+        if not tids:
+            return None
+        buckets = sorted({t % self.config.index_partitions for t in tids})
+        return (
+            self.catalog.read(self.spark, "postings")
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term_id").isin(tids))
+        )
+
+    # -- public API ---------------------------------------------------------
+    def search_all(
+        self,
+        queries: DataFrame | dict[int, str],
+        k: int = 10,
+        mode: str = "gather",
+        qid_to_pids: DataFrame | None = None,
+    ) -> Ranking:
+        """Batch retrieval → Ranking. mode ∈ {gather, scatter} (wand.py).
+
+        qid_to_pids: optional (qid, pid) allow-list DataFrame (F3 semantics:
+        restrict each query's search space before ranking).
+        """
+        if isinstance(queries, dict):
+            queries = self.spark.createDataFrame(
+                list(queries.items()), "qid long, text string"
+            )
+        qterms = self._query_terms(queries).persist()
+        blocks = self._candidate_blocks(qterms)
+        if blocks is None:
+            empty = self.spark.createDataFrame([], wand.RANKING_SCHEMA)
+            return Ranking(empty, self._provenance(k, mode))
+
+        if qid_to_pids is not None or mode == "scatter":
+            ranking = wand.topk_scatter(blocks, qterms, k, self.avgdl,
+                                        qid_to_pids=qid_to_pids)
+        else:
+            qblocks = blocks.join(F.broadcast(qterms), "term_id").select(
+                "qid", "term_id", "idf", "first_pid", "last_pid",
+                "max_block_score", "pids", "tfs", "dls",
+            )
+            ranking = wand.topk_gather(qblocks, k, self.avgdl)
+        return Ranking(ranking, self._provenance(k, mode))
+
+    def search(self, text: str, k: int = 10,
+               pids: list[int] | None = None) -> tuple[list, list, list]:
+        """Single query → (pids, ranks, scores) exactly like searcher.py:131."""
+        q = self.spark.createDataFrame([(0, text)], "qid long, text string")
+        allow = None
+        if pids is not None:
+            allow = self.spark.createDataFrame(
+                [(0, int(p)) for p in pids], "qid long, pid long"
+            )
+        rows = (
+            self.search_all(q, k=k, qid_to_pids=allow)
+            .df.orderBy("rank").collect()
+        )
+        return (
+            [r["pid"] for r in rows],
+            [r["rank"] for r in rows],
+            [r["score"] for r in rows],
+        )
+
+    def _provenance(self, k: int, mode: str) -> dict:
+        return {
+            "engine": "colbert_spark",
+            "index": str(self.catalog.root),
+            "k": k,
+            "mode": mode,
+            "config": asdict(self.config),
+        }

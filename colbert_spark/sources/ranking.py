@@ -1,0 +1,57 @@
+"""Ranking — (qid, pid, rank, score) results (colbert/data/ranking.py:25-94).
+
+Wraps a DataFrame; provides the reference's views: flat tuples, per-qid
+grouped dict (groupby_first_item analog, colbert/utils/utils.py:227-235),
+TSV sink with provenance .meta sidecar (ranking.py:63-81; provenance.py).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Ranking:
+    def __init__(self, df: DataFrame, provenance: dict | None = None):
+        self.df = df.select("qid", "pid", "rank", "score")
+        self.provenance = provenance or {}
+
+    def flat_ranking(self) -> list[tuple]:
+        """Flat (qid, pid, rank, score) tuples ordered by (qid, rank)."""
+        return [
+            (r["qid"], r["pid"], r["rank"], r["score"])
+            for r in self.df.orderBy("qid", "rank").collect()
+        ]
+
+    def todict(self) -> dict[int, list[tuple[int, int, float]]]:
+        """{qid: [(pid, rank, score), ...]} (Ranking.todict, ranking.py:45-47)."""
+        out: dict[int, list] = {}
+        for qid, pid, rank, score in self.flat_ranking():
+            out.setdefault(qid, []).append((pid, rank, score))
+        return out
+
+    def save(self, path: str) -> str:
+        """TSV qid \\t pid \\t rank \\t score + .meta provenance JSON."""
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        rows = self.flat_ranking()
+        with open(p, "w") as f:
+            for qid, pid, rank, score in rows:
+                f.write(f"{qid}\t{pid}\t{rank}\t{score}\n")
+        meta = {"provenance": self.provenance, "num_rows": len(rows)}
+        Path(str(p) + ".meta").write_text(json.dumps(meta, indent=2, sort_keys=True))
+        return str(p)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Ranking":
+        """Numericize TSV fields (load_ranking, ranking.py:18-43)."""
+        df = spark.read.csv(path, sep="\t").select(
+            F.col("_c0").cast("long").alias("qid"),
+            F.col("_c1").cast("long").alias("pid"),
+            F.col("_c2").cast("int").alias("rank"),
+            F.col("_c3").cast("double").alias("score"),
+        )
+        return cls(df)

@@ -1,0 +1,62 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from colbert_spark.functions.codec import (
+    decode_pids,
+    decode_tfs,
+    encode_pids,
+    encode_tfs,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_basic():
+    vals = np.array([0, 1, 127, 128, 300, 16383, 16384, 2**32, 2**63 - 1],
+                    dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(vals)), vals)
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+def test_varint_single_byte_values():
+    vals = np.arange(128, dtype=np.uint64)
+    enc = varint_encode(vals)
+    assert len(enc) == 128  # all fit in one byte
+    assert np.array_equal(varint_decode(enc), vals)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+def test_varint_roundtrip_property(xs):
+    vals = np.array(xs, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(vals)), vals)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**12), max_size=300))
+def test_pid_delta_roundtrip(pids):
+    arr = np.sort(np.array(sorted(pids), dtype=np.int64))
+    assert np.array_equal(decode_pids(encode_pids(arr)), arr)
+
+
+def test_pid_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_pids(np.array([5, 3, 9], dtype=np.int64))
+
+
+def test_tf_roundtrip():
+    tfs = np.array([1, 1, 2, 7, 1000, 1], dtype=np.int64)
+    assert np.array_equal(decode_tfs(encode_tfs(tfs)), tfs)
+
+
+def test_compression_wins_on_dense_lists():
+    # dense pid runs → 1-byte gaps; 8-byte int64 → ≥8x smaller
+    pids = np.arange(0, 100_000, 3, dtype=np.int64)
+    enc = encode_pids(pids)
+    assert len(enc) < pids.nbytes / 7

@@ -1,0 +1,112 @@
+"""Indexer + Searcher end-to-end: the real (varint/block-max) engine must be
+rank-identical to the brute-force scorer AND the Python oracle; gather and
+scatter modes must agree; overwrite modes must follow indexer.py:60-82."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from colbert_spark.operators.brute import bm25_topk
+from colbert_spark.plans.config import ColBERTConfig
+from colbert_spark.plans.indexer import Indexer
+from colbert_spark.plans.searcher import Searcher
+from colbert_spark.sources.datagen import gen_docs_pdf, gen_queries_pdf
+from tests.oracle import bm25_topk as oracle_topk
+
+N_DOCS = 300
+N_QUERIES = 30
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    return ColBERTConfig(
+        index_root=str(tmp_path_factory.mktemp("indexes")),
+        block_size=32,            # small blocks → exercise multi-block paths
+        index_partitions=8,
+        salt_df_threshold=100,    # head term (df≈200) gets salted
+        salt_buckets=4,
+        shuffle_partitions=8,
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, cfg):
+    docs_pdf = gen_docs_pdf(np.arange(N_DOCS))
+    docs_pdf["pid"] = np.arange(N_DOCS)
+    docs = spark.createDataFrame(docs_pdf[["pid", "text"]])
+    queries_pdf = gen_queries_pdf(np.arange(N_QUERIES))
+    queries = spark.createDataFrame(queries_pdf)
+    Indexer(cfg).index("t1", docs, overwrite=True)
+    searcher = Searcher("t1", spark, cfg)
+    return docs, queries, docs_pdf, queries_pdf, searcher
+
+
+def _todict(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["qid"], []).append((r["pid"], r["rank"], r["score"]))
+    return out
+
+
+def test_gather_matches_oracle(spark, built):
+    _, queries, docs_pdf, queries_pdf, searcher = built
+    got = _todict(searcher.search_all(queries, k=10).df.orderBy("qid", "rank").collect())
+    exp = oracle_topk(
+        dict(zip(docs_pdf["pid"], docs_pdf["text"])),
+        dict(zip(queries_pdf["qid"], queries_pdf["text"])),
+        k=10,
+    )
+    for qid, e in exp.items():
+        g = got.get(qid, [])
+        assert [(p, r) for p, r, _ in g] == [(p, r) for p, r, _ in e], f"qid={qid}"
+        for (gp, _, gs), (_, _, es) in zip(g, e):
+            assert gs == pytest.approx(es, abs=1e-6)
+
+
+def test_scatter_equals_gather(spark, built):
+    _, queries, _, _, searcher = built
+    a = _todict(searcher.search_all(queries, k=10, mode="gather").df.collect())
+    b = _todict(searcher.search_all(queries, k=10, mode="scatter").df.collect())
+    assert a == b
+
+
+def test_index_engine_equals_brute(spark, built):
+    docs, queries, _, _, searcher = built
+    brute = _todict(bm25_topk(docs, queries, k=10).collect())
+    eng = _todict(searcher.search_all(queries, k=10).df.collect())
+    assert eng == brute
+
+
+def test_single_query_api(spark, built):
+    _, _, _, queries_pdf, searcher = built
+    text = queries_pdf["text"].iloc[0]
+    pids, ranks, scores = searcher.search(text, k=5)
+    assert ranks == list(range(1, len(pids) + 1))
+    assert scores == sorted(scores, reverse=True)
+    assert len(pids) <= 5
+
+
+def test_pid_allowlist_filter(spark, built):
+    _, _, docs_pdf, queries_pdf, searcher = built
+    text = queries_pdf["text"].iloc[1]
+    full_pids, _, _ = searcher.search(text, k=10)
+    assert len(full_pids) >= 3
+    allowed = full_pids[2:]  # drop the top-2 docs
+    pids, _, _ = searcher.search(text, k=10, pids=allowed)
+    assert set(pids).issubset(set(allowed))
+    assert pids[0] == full_pids[2]
+
+
+def test_overwrite_modes(spark, built, cfg):
+    docs, _, _, _, _ = built
+    with pytest.raises(FileExistsError):
+        Indexer(cfg).index("t1", docs, overwrite=False)
+    p = Indexer(cfg).index("t1", docs, overwrite="reuse")
+    assert p.endswith("t1")
+
+
+def test_empty_query_and_oov(spark, built):
+    _, _, _, _, searcher = built
+    pids, ranks, scores = searcher.search("zzabsent qqmissing", k=5)
+    assert pids == [] and ranks == [] and scores == []
