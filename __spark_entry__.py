@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: build the inverted index over sf0.001 documents
+                 with the real engine (Indexer) and answer the fixed query
+                 set via Searcher.search_all (block-max top-k).
+queries()      — one callable per implemented operator (SURVEY.md §2 +
+                 training-data pipeline ops); see colbert_spark/entry_queries.py.
+oracle_sql()   — matching DuckDB SQL for every SQL-expressible operator.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from colbert_spark import entry_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index sf0.001 documents, search the fixed query set."""
+    import pyspark.sql.functions as F
+
+    from colbert_spark.plans.config import ColBERTConfig
+    from colbert_spark.plans.indexer import Indexer
+    from colbert_spark.plans.searcher import Searcher
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("pid"), "text")
+    )
+    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
+                        index_name="entry_sf0001")
+    Indexer(cfg).index("entry_sf0001", docs, overwrite=True)
+    searcher = Searcher("entry_sf0001", spark, cfg)
+    queries = spark.createDataFrame(entry_queries.QUERY_SET, "qid long, text string")
+    return searcher.search_all(queries, k=10).df
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(entry_queries.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(entry_queries.ORACLE)

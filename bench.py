@@ -1,0 +1,94 @@
+"""Headline benchmark — one JSON line for the driver.
+
+Times the engine's flagship paths at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+
+  index_build   — full inverted-index build (tokenize → term dict → salted
+                  varint blocks → manifest) over the documents table
+  search_all    — batch BM25 top-10 for the fixed query set via the built
+                  index (gather/MaxScore path)
+  search_scatter— same queries through the scatter (decode-once) path
+  bm25_brute    — index-free distributed BM25 (the oracle-checked path)
+  dedup_minhash — MinHash+LSH near-dup pairs over documents
+  ann_cosine    — brute cosine top-5 over embeddings
+  tpch_q1       — scan+agg baseline over lineitem (Catalyst sanity anchor)
+
+Scaling evidence (N vs 4N cores) lives in scripts/bench_scaling.py →
+BENCH.md; this file is the per-round single-config measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import pyspark.sql.functions as F
+
+from colbert_spark import entry_queries
+from colbert_spark.plans.config import ColBERTConfig
+from colbert_spark.plans.indexer import Indexer
+from colbert_spark.plans.searcher import Searcher
+from colbert_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="colbert-spark-bench", cpus=cpus,
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("pid"), "text")
+    )
+    n_docs = docs.count()
+    queries = spark.createDataFrame(entry_queries.QUERY_SET, "qid long, text string")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
+                        index_name="bench", shuffle_partitions=cpus)
+    timed("index_build",
+          lambda: Indexer(cfg).index("bench", docs,
+                                     overwrite="force_silent_overwrite"))
+    searcher = Searcher("bench", spark, cfg)
+    timed("search_all",
+          lambda: searcher.search_all(queries, k=10).df.collect())
+    timed("search_scatter",
+          lambda: searcher.search_all(queries, k=10, mode="scatter").df.collect())
+    timed("bm25_brute",
+          lambda: entry_queries.q_bm25_top10(spark, sf_dir).collect())
+    timed("dedup_minhash",
+          lambda: entry_queries.q_dedup_minhash(spark, sf_dir).collect())
+    timed("ann_cosine",
+          lambda: entry_queries.q_ann_cosine_top5(spark, sf_dir).collect())
+    timed("tpch_q1",
+          lambda: entry_queries.q_tpch_q1_pricing(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "num_docs": n_docs,
+        "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

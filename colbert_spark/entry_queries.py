@@ -1,0 +1,642 @@
+"""Driver-facing query registry: every implemented operator as a
+(spark_callable, oracle_sql) pair over /root/testdata parquet tables.
+
+The DuckDB oracle and the Spark implementation share ONE tokenization rule
+(functions/analysis.TOKEN_SPLIT_RE) and ONE BM25 definition
+(functions/bm25: k1=1.2 b=0.75, Lucene idf, float64, round-6-then-rank,
+(-score, pid) tiebreak). Aggregates that sum many doubles are rounded so
+ULP-level summation-order differences between engines can't flip hashes.
+
+Non-SQL-expressible ops (MinHash/SimHash/LSH — they depend on xxhash64,
+which DuckDB doesn't have) appear in QUERIES without an ORACLE entry; the
+driver records a rows-only check for those, and tests/test_pipeline_ops.py
+carries their property-based verification instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from colbert_spark.functions import analysis, bm25
+from colbert_spark.operators import (
+    brute,
+    dedup,
+    metrics,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+# ---------------------------------------------------------------------------
+# fixed literal retrieval query set (terms from the testdata vocabulary;
+# q8 carries an out-of-vocabulary term to exercise the empty-postings path)
+# ---------------------------------------------------------------------------
+QUERY_SET: list[tuple[int, str]] = [
+    (0, "scan filter join"),
+    (1, "window order sort"),
+    (2, "spark query data stream"),
+    (3, "the fast key"),
+    (4, "merge hash table"),
+    (5, "customer line value batch"),
+    (6, "group row small slow"),
+    (7, "vector big dup"),
+    (8, "agg column part zzabsent"),
+]
+
+K1, B = bm25.K1, bm25.B
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(QUERY_SET, "qid long, text string")
+
+
+# ---- shared SQL fragments (DuckDB) ----------------------------------------
+
+def _sql_tokens(col: str, maxlen: int) -> str:
+    return (
+        f"list_slice(list_filter(regexp_split_to_array(lower({col}), "
+        f"'[^a-z0-9]+'), x -> x <> ''), 1, {maxlen})"
+    )
+
+
+def _sql_values() -> str:
+    return ", ".join(f"(CAST({q} AS BIGINT), '{t}')" for q, t in QUERY_SET)
+
+
+_SQL_CORPUS_CTES = f"""
+d AS (SELECT doc_id AS pid, {_sql_tokens('text', 220)} AS terms FROM documents),
+dl AS (SELECT pid, len(terms) AS doclen FROM d),
+tok AS (SELECT pid, unnest(terms) AS term FROM d),
+tf AS (SELECT pid, term, count(*) AS tf FROM tok GROUP BY pid, term),
+stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term),
+q(qid, text) AS (VALUES {_sql_values()}),
+qt AS (SELECT DISTINCT qid, unnest({_sql_tokens('text', 32)}) AS term FROM q)
+"""
+
+_SQL_BM25_SCORED = f"""
+scored AS (
+  SELECT qt.qid, tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM qt
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY qt.qid, tf.pid
+),
+ranked AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS rank
+  FROM scored
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark implementations
+# ---------------------------------------------------------------------------
+
+def q_bm25_top10(spark, sf_dir):
+    """Flagship: all-queries BM25 top-10 (Searcher.search_all semantics)."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    out = brute.bm25_topk(docs, _query_df(spark), k=10)
+    return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"), "score")
+
+
+def q_term_stats(spark, sf_dir):
+    """Term dictionary (A5 analog): top 50 terms by (df desc, term)."""
+    token_df = analysis.tokenize_docs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", maxlen=220
+    )
+    return (
+        brute.term_stats(token_df.withColumnRenamed("doc_id", "pid"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Global index statistics (S9 analog): N, avgdl, vocab, postings."""
+    token_df = analysis.tokenize_docs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", maxlen=220
+    )
+    per_doc = token_df.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
+    a = per_doc.agg(
+        F.count(F.lit(1)).alias("num_docs"),
+        F.round(F.avg("doclen"), 6).alias("avg_doclen"),
+    )
+    b = token_df.agg(
+        F.countDistinct("term").alias("num_terms"),
+        F.count(F.lit(1)).alias("num_postings"),
+    )
+    return a.crossJoin(b)
+
+
+def q_term_topk_tf(spark, sf_dir):
+    """Posting-list head for one term (T5/J1 analog): top 20 docs by tf."""
+    token_df = analysis.tokenize_docs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", maxlen=220
+    )
+    return (
+        token_df.filter(F.col("term") == "scan")
+        .select(F.col("doc_id").alias("pid"), "tf", "doclen")
+        .orderBy(F.desc("tf"), F.asc("pid"))
+        .limit(20)
+    )
+
+
+def q_candidates_per_query(spark, sf_dir):
+    """Candidate generation (J1): per query, #docs sharing ≥1 term."""
+    token_df = analysis.tokenize_docs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", maxlen=220
+    )
+    qterms = brute.query_terms(_query_df(spark), 32)
+    return (
+        token_df.join(F.broadcast(qterms), "term")
+        .groupBy("qid")
+        .agg(F.countDistinct("doc_id").alias("num_candidates"))
+    )
+
+
+def q_softmax_top10(spark, sf_dir):
+    """Server-style softmax probs over top-k scores (A9, server.py:27-28)."""
+    ranked = q_bm25_top10(spark, sf_dir)
+    w = Window.partitionBy("qid")
+    return ranked.select(
+        "qid", "pid", "rank",
+        F.round(F.exp("score") / F.sum(F.exp("score")).over(w), 6).alias("prob"),
+    )
+
+
+def q_eval_mrr10(spark, sf_dir):
+    """Eval harness (A8): MRR@10 of BM25 vs tf-top1 pseudo-qrels."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    token_df = analysis.tokenize_docs(docs, id_col="pid", text_col="text", maxlen=220)
+    qterms = brute.query_terms(_query_df(spark), 32)
+    tfsum = (
+        token_df.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "pid")
+        .agg(F.sum("tf").alias("tfs"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("tfs"), F.asc("pid"))
+    qrels = tfsum.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1) \
+                 .select("qid", "pid")
+    ranking = q_bm25_top10(spark, sf_dir)
+    return metrics.mrr_at_k(ranking, qrels, k=10)
+
+
+def q_ranking_shard_merge(spark, sf_dir):
+    """Ranked-list merge (T6, utility/rankings/merge.py): per-pid-shard
+    top-10 lists unioned, re-ranked, depth-cut to 10."""
+    full = q_bm25_top10(spark, sf_dir).drop("rank")
+    shard_a = full.filter(F.col("pid") < 250)
+    shard_b = full.filter(F.col("pid") >= 250)
+
+    def rerank(df):
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+        return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+    merged = rerank(shard_a).drop("rank").unionByName(rerank(shard_b).drop("rank"))
+    return rerank(merged).select("qid", "pid",
+                                 F.col("rank").cast("long").alias("rank"), "score")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_summary(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 2-gram Jaccard near-dup pairs over a doc subset."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.2)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textstats.doc_fingerprint(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+
+
+def q_quality_score(spark, sf_dir):
+    return textstats.quality_features(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id_heuristic(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+
+
+def q_token_count_by_source(spark, sf_dir):
+    return textstats.token_counts_by(_docs(spark, sf_dir), "source")
+
+
+def q_ann_cosine_top5(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk_brute(emb, queries, k=5)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload → typed feature rows (decode
+    stubbed; see operators/multimodal.py). Oracle checks the SQL-reachable
+    columns (n_bytes from the utf-8 payload)."""
+    blobs = multimodal.attach_blob(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    return multimodal.extract_features(blobs).select("doc_id", "n_bytes", "width",
+                                                     "height")
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter pushdown + grouped agg (S1/F/A4)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Join chain with broadcast dims (J-coverage): lineitem ⋈ orders ⋈
+    customer ⋈ nation, revenue per nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window top-3 (§2.5): highest-value orders per customer < 50."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Event-time windowed agg (batch analog of the streaming rollup)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---- rows-only ops (no SQL-expressible oracle: xxhash64-based) -------------
+
+def q_dedup_minhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return dedup.minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return dedup.simhash_near_pairs(docs, max_hamming=10)
+
+
+def q_ann_lsh_top5(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk_lsh(emb, queries, k=5, n_planes=8)
+
+
+QUERIES = {
+    "bm25_top10": q_bm25_top10,
+    "term_stats": q_term_stats,
+    "corpus_stats": q_corpus_stats,
+    "term_topk_tf": q_term_topk_tf,
+    "candidates_per_query": q_candidates_per_query,
+    "softmax_top10": q_softmax_top10,
+    "eval_mrr10": q_eval_mrr10,
+    "ranking_shard_merge": q_ranking_shard_merge,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "doc_fingerprint": q_doc_fingerprint,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "token_count_by_source": q_token_count_by_source,
+    "ann_cosine_top5": q_ann_cosine_top5,
+    "multimodal_meta": q_multimodal_meta,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "events_hourly": q_events_hourly,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_lsh_top5": q_ann_lsh_top5,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["bm25_top10"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
+SELECT qid, pid, rank, score FROM ranked WHERE rank <= 10
+"""
+
+ORACLE["term_stats"] = f"""
+WITH {_SQL_CORPUS_CTES}
+SELECT term, df, cf FROM dfreq ORDER BY df DESC, term ASC LIMIT 50
+"""
+
+ORACLE["corpus_stats"] = f"""
+WITH {_SQL_CORPUS_CTES}
+SELECT (SELECT count(*) FROM dl) AS num_docs,
+       (SELECT round(avg(doclen), 6) FROM dl) AS avg_doclen,
+       (SELECT count(*) FROM dfreq) AS num_terms,
+       (SELECT count(*) FROM tf) AS num_postings
+"""
+
+ORACLE["term_topk_tf"] = f"""
+WITH {_SQL_CORPUS_CTES}
+SELECT tf.pid, tf.tf, dl.doclen
+FROM tf JOIN dl ON tf.pid = dl.pid
+WHERE tf.term = 'scan'
+ORDER BY tf.tf DESC, tf.pid ASC LIMIT 20
+"""
+
+ORACLE["candidates_per_query"] = f"""
+WITH {_SQL_CORPUS_CTES}
+SELECT qt.qid, count(DISTINCT tf.pid) AS num_candidates
+FROM qt JOIN tf USING (term) GROUP BY qt.qid
+"""
+
+ORACLE["softmax_top10"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+top AS (SELECT qid, pid, rank, score FROM ranked WHERE rank <= 10)
+SELECT qid, pid, rank,
+       round(exp(score) / sum(exp(score)) OVER (PARTITION BY qid), 6) AS prob
+FROM top
+"""
+
+ORACLE["eval_mrr10"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+tfsum AS (
+  SELECT qt.qid, tf.pid, sum(tf.tf) AS tfs
+  FROM qt JOIN tf USING (term) GROUP BY qt.qid, tf.pid
+),
+qrels AS (
+  SELECT qid, pid FROM (
+    SELECT qid, pid,
+           row_number() OVER (PARTITION BY qid ORDER BY tfs DESC, pid) AS r
+    FROM tfsum
+  ) WHERE r = 1
+),
+hits AS (
+  SELECT ranked.qid, 1.0 / min(ranked.rank) AS rr
+  FROM ranked JOIN qrels ON ranked.qid = qrels.qid AND ranked.pid = qrels.pid
+  WHERE ranked.rank <= 10
+  GROUP BY ranked.qid
+)
+SELECT round(avg(coalesce(hits.rr, 0.0)), 6) AS mrr
+FROM (SELECT DISTINCT qid FROM qrels) q LEFT JOIN hits USING (qid)
+"""
+
+ORACLE["ranking_shard_merge"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+full10 AS (SELECT qid, pid, score FROM ranked WHERE rank <= 10),
+sa AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS r
+  FROM full10 WHERE pid < 250
+),
+sb AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS r
+  FROM full10 WHERE pid >= 250
+),
+merged AS (
+  SELECT qid, pid, score FROM sa WHERE r <= 10
+  UNION ALL
+  SELECT qid, pid, score FROM sb WHERE r <= 10
+)
+SELECT qid, pid, rank, score FROM (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS rank
+  FROM merged
+) WHERE rank <= 10
+"""
+
+ORACLE["dedup_exact"] = """
+WITH h AS (
+  SELECT md5(array_to_string(list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> ''), ' ')) AS h
+  FROM documents
+),
+g AS (SELECT h, count(*) AS cnt FROM h GROUP BY h)
+SELECT sum(cnt) AS num_docs,
+       count(*) AS num_distinct_texts,
+       sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS num_dup_docs
+FROM g
+"""
+
+ORACLE["dedup_ngram_jaccard"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents WHERE doc_id < 300
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         terms[i] || ' ' || terms[i+1] AS shingle
+  FROM t, unnest(range(1, len(terms))) AS u(i)
+  WHERE len(terms) >= 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a, i.b,
+       round(i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.a = sa.doc_id
+JOIN sizes sb ON i.b = sb.doc_id
+WHERE i.inter * 1.0 / (sa.n_sh + sb.n_sh - i.inter) >= 0.2
+"""
+
+ORACLE["doc_fingerprint"] = """
+SELECT doc_id,
+       md5(array_to_string(list_filter(regexp_split_to_array(lower(text),
+           '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp
+FROM documents WHERE doc_id < 100
+"""
+
+_SQL_STOP = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
+
+ORACLE["quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents WHERE doc_id < 200
+),
+f AS (
+  SELECT doc_id,
+         len(terms) AS n_tokens,
+         length(array_to_string(terms, ' ')) AS n_chars_norm,
+         round(CASE WHEN len(terms) > 0 THEN
+           list_sum(list_transform(terms, x -> length(x))) * 1.0 / len(terms)
+           ELSE 0.0 END, 6) AS avg_token_len,
+         round(CASE WHEN len(terms) > 0 THEN
+           len(list_filter(terms, x -> list_contains({_SQL_STOP}, x))) * 1.0
+             / len(terms)
+           ELSE 0.0 END, 6) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars_norm, avg_token_len, stopword_ratio,
+       CAST(n_tokens >= 5 AND n_tokens <= 500 AND stopword_ratio < 0.5
+            AS INTEGER) AS quality
+FROM f
+"""
+
+ORACLE["lang_id"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents WHERE doc_id < 200
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len(terms) > 0 THEN
+           len(list_filter(terms, x -> list_contains({_SQL_STOP}, x))) * 1.0
+             / len(terms)
+         ELSE 0.0 END AS ratio
+  FROM t
+)
+SELECT doc_id, round(ratio, 6) AS en_ratio,
+       CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM r
+"""
+
+ORACLE["token_count_by_source"] = """
+WITH t AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS n
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(n) AS total_tokens,
+       round(avg(n), 6) AS avg_tokens
+FROM t GROUP BY source
+"""
+
+ORACLE["ann_cosine_top5"] = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.qid, it.vec_id,
+         round(list_dot_product(q.qv, it.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(it.v, it.v))), 6) AS sim
+  FROM q JOIN it ON q.qid <> it.vec_id
+)
+SELECT qid, vec_id, rank, sim FROM (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+ORACLE["multimodal_meta"] = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST((octet_length(encode(text)) % 640) + 1 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) % 480) + 1 AS INTEGER) AS height
+FROM documents WHERE doc_id < 100
+"""
+
+ORACLE["tpch_q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE["revenue_by_nation"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+ORACLE["top_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders WHERE o_custkey < 50
+) WHERE rn <= 3
+"""
+
+ORACLE["events_hourly"] = """
+SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type, hour(ts)
+"""

@@ -1,0 +1,258 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Four families over documents(id, text):
+  exact          — md5-hash groupBy (one shuffle on the hash, not the text)
+  n-gram Jaccard — shingle self-join with exact set overlap
+  MinHash + LSH  — signature bands → bucket join → candidate pairs
+  SimHash        — 64-bit fingerprint, near-dup by Hamming distance
+
+Everything stays JVM-side except the SimHash bit-fold (Arrow applyInPandas
+over pre-hashed terms). Design notes for 10^12 docs: every join here keys
+on a hash (uniform distribution → no skew); shingle joins are the heavy
+path and MinHash/LSH exists precisely to replace the quadratic shingle
+self-join with a band-bucket equi-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from colbert_spark.functions import analysis
+
+# 31-bit Mersenne prime: products a*h stay under 2^62 (ANSI-safe int64)
+_MINHASH_P = 2147483647
+
+
+def normalized_text(text_col: str = "text"):
+    """Canonical form: tokens re-joined with single spaces."""
+    return F.array_join(analysis.tokens(text_col), " ")
+
+
+def exact_dedup_summary(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(num_docs, num_distinct_texts, num_dup_docs): corpus-level exact-dup
+    profile. Dedup keys on md5(normalized text) so the shuffle carries
+    16-byte hashes, not documents."""
+    h = docs.select(F.md5(F.encode(normalized_text(text_col), "UTF-8")).alias("h"))
+    groups = h.groupBy("h").count()
+    return groups.agg(
+        F.sum("count").alias("num_docs"),
+        F.count(F.lit(1)).alias("num_distinct_texts"),
+        F.sum(F.when(F.col("count") > 1, F.col("count") - 1).otherwise(0)).alias(
+            "num_dup_docs"
+        ),
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id doc per identical normalized text."""
+    withh = docs.withColumn(
+        "_h", F.md5(F.encode(normalized_text(text_col), "UTF-8"))
+    )
+    keep = withh.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return withh.join(keep, ["_h", id_col], "left_semi").drop("_h")
+
+
+def shingle_expr(terms_col, n: int):
+    """array<string> terms → array of n-gram shingle strings (0-based Spark
+    array indexing inside transform)."""
+    idx = ", ".join(f"t[i+{j}]" for j in range(n))
+    return F.expr(
+        f"transform(sequence(0, size({terms_col}) - {n}), "
+        f"i -> concat_ws(' ', {idx.replace('t[', terms_col + '[')}))"
+    )
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct, for docs with at least n tokens."""
+    toks = docs.select(
+        F.col(id_col), analysis.tokens(text_col).alias("_t")
+    ).filter(F.size("_t") >= n)
+    return toks.select(
+        id_col, F.explode(F.array_distinct(shingle_expr("_t", n))).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
+
+    Quadratic in shingle-group size — the brute baseline MinHash replaces
+    at scale (the shared-shingle join explodes on common shingles exactly
+    like a head term; use minhash_lsh_pairs beyond ~10^6 docs).
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _perm_table(spark, num_perm: int) -> DataFrame:
+    """Deterministic MinHash permutation constants (LCG-derived, in [1, p))."""
+    rows = []
+    for i in range(num_perm):
+        a = (1103515245 * (i + 1) + 12345) % _MINHASH_P
+        b = (69069 * (i + 1) + 1) % _MINHASH_P
+        rows.append((i, max(a, 1), b))
+    return spark.createDataFrame(rows, "perm int, a long, b long")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    shingle_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures, fully JVM-side:
+    shingle → xxhash64 → broadcast perm table → groupBy min per perm →
+    pivot to array. min over ((a*h + b) mod p)."""
+    sh = _doc_shingles(docs, id_col, text_col, shingle_n).select(
+        id_col, F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_P)).alias("h")
+    )
+    perms = F.broadcast(_perm_table(docs.sparkSession, num_perm))
+    mins = (
+        sh.join(perms)
+        .select(
+            id_col, "perm",
+            F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(_MINHASH_P)).alias("v"),
+        )
+        .groupBy(id_col, "perm")
+        .agg(F.min("v").alias("mh"))
+    )
+    return mins.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("perm", "mh"))), lambda s: s["mh"]
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates → (a, b, est_jaccard ≥ threshold).
+
+    bands of r = num_perm/bands rows; docs sharing any band bucket become
+    candidates (equi-join on (band, xxhash64(band slice))); est_jaccard =
+    fraction of matching signature positions. The scale path: candidate
+    generation is a pure hash equi-join, no quadratic shingle join.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
+    banded = sigs.select(
+        id_col, "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b as band, xxhash64(cast(slice(sig, b*{r}+1, {r}) as string)) as bh))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col(id_col).alias("a"), F.col("sig").alias("siga"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("b"), F.col("sig").alias("sigb"), "band", "bh")
+    cands = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "siga", "sigb")
+        .dropDuplicates(["a", "b"])
+    )
+    est = cands.select(
+        "a", "b",
+        F.round(
+            F.size(F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y),
+                            lambda z: z)) / F.lit(num_perm),
+            6,
+        ).alias("est_jaccard"),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, simhash: long) 64-bit SimHash over tf-weighted term hashes.
+
+    Terms are hashed JVM-side (xxhash64); the per-doc bit-fold runs in an
+    Arrow applyInPandas kernel (numpy unpackbits — no per-row Python).
+    """
+    term_h = (
+        docs.select(F.col(id_col), F.explode(analysis.tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(id_col, F.xxhash64("term").alias("h"), "tf")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy().astype(np.uint64)
+        w = pdf["tf"].to_numpy().astype(np.int64)
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        votes = (bits.astype(np.int64) * 2 - 1) * w[:, None]
+        sig_bits = (votes.sum(axis=0) > 0).astype(np.uint8)
+        sig = int(np.packbits(sig_bits, bitorder="little").view(np.uint64)[0])
+        # reinterpret as signed int64 for Spark LongType
+        sig = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.DataFrame({id_col: [pdf[id_col].iloc[0]], "simhash": [sig]})
+
+    return term_h.groupBy(id_col).applyInPandas(
+        fold, schema=f"{id_col} long, simhash long"
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
+    4×16-bit band blocking (a pair within distance 3 shares ≥1 exact band)."""
+    sigs = simhash64(docs, id_col, text_col)
+    banded = sigs.select(
+        id_col, "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "b -> struct(b as band, shiftright(simhash, b*16) & 65535 as bh))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bh")
+    a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
+                      "band", "bh")
+    b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"),
+                      "band", "bh")
+    cands = (
+        a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return cands.select(
+        "a", "b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,71 @@
+"""Evaluation metrics: MRR@k, Recall@k, Success@k (A8).
+
+DataFrame rebuild of utility/evaluate/msmarco_passages.py:16-91 and
+colbert/evaluation/metrics.py:8-99: join ranking × qrels, conditional
+window aggregation, mean over queries. Queries with no qrels are excluded
+from the denominator (msmarco_passages.py averages over qrels keys).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _joined(ranking: DataFrame, qrels: DataFrame) -> DataFrame:
+    """ranking(qid,pid,rank,score) ⋈ qrels(qid,pid) with hit flags."""
+    q = qrels.select("qid", "pid").withColumn("rel", F.lit(1))
+    return ranking.join(q, ["qid", "pid"], "left").fillna({"rel": 0})
+
+
+def mrr_at_k(ranking: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """One row (mrr double): mean over qrel-queries of 1/first-relevant-rank
+    within top-k (0 when none)."""
+    per_q = (
+        _joined(ranking, qrels)
+        .filter((F.col("rel") == 1) & (F.col("rank") <= k))
+        .groupBy("qid")
+        .agg((F.lit(1.0) / F.min("rank")).alias("rr"))
+    )
+    denom = qrels.select("qid").distinct()
+    return (
+        denom.join(per_q, "qid", "left")
+        .fillna({"rr": 0.0})
+        .agg(F.round(F.avg("rr"), 6).alias("mrr"))
+    )
+
+
+def recall_at_k(ranking: DataFrame, qrels: DataFrame, k: int = 50) -> DataFrame:
+    """One row (recall double): mean over queries of
+    |relevant ∩ top-k| / |relevant|."""
+    rel_counts = qrels.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (
+        _joined(ranking, qrels)
+        .filter((F.col("rel") == 1) & (F.col("rank") <= k))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        rel_counts.join(hits, "qid", "left")
+        .fillna({"n_hit": 0})
+        .select((F.col("n_hit") / F.col("n_rel")).alias("r"))
+        .agg(F.round(F.avg("r"), 6).alias("recall"))
+    )
+
+
+def success_at_k(ranking: DataFrame, qrels: DataFrame, k: int = 5) -> DataFrame:
+    """One row (success double): fraction of queries with ≥1 relevant doc in
+    top-k (the e2e_test.py:74-80 quality gate shape)."""
+    hit = (
+        _joined(ranking, qrels)
+        .filter((F.col("rel") == 1) & (F.col("rank") <= k))
+        .select("qid")
+        .distinct()
+        .withColumn("s", F.lit(1.0))
+    )
+    return (
+        qrels.select("qid").distinct()
+        .join(hit, "qid", "left")
+        .fillna({"s": 0.0})
+        .agg(F.round(F.avg("s"), 6).alias("success"))
+    )

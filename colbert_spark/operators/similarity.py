@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+brute-force cosine top-k — the exact baseline: broadcast the (small) query
+side, JVM-side dot products (zip_with + aggregate, whole-stage codegen),
+window rank. One shuffle (the rank), no Python.
+
+LSH-bucketed ANN — the scale path: deterministic random-hyperplane
+signatures bucket the corpus; candidates = bucket equi-join; exact cosine
+only within buckets. Probe multiple "nearby" buckets (bit flips) for
+recall. At 10^12 rows the bucket join replaces the O(Q·N) scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+SIM_DECIMALS = 6
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk_brute(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k: (qid, vec_id, rank, sim). Excludes self-matches
+    when ids collide. All math float64 JVM-side."""
+    it = items.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nv", _norm(F.col("v")))
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<double>").alias("qv"),
+    ).withColumn("nq", _norm(F.col("qv")))
+    scored = it.join(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id",
+        F.round(
+            _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")),
+            SIM_DECIMALS,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.col("rank").cast("long").alias("rank"), "sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature_col(vec_col, planes: np.ndarray):
+    """Bit-signature column: bit j = 1 if dot(v, plane_j) > 0. Pure JVM
+    expressions built from literal plane arrays (no UDF)."""
+    bits = []
+    for j, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(_dot(F.col(vec_col).cast("array<double>"), lit) > 0,
+                   F.lit(1 << j)).otherwise(F.lit(0))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def cosine_topk_lsh(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    probe_flips: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN cosine top-k via multi-table random-hyperplane LSH.
+
+    L independent tables of J hyperplanes each; a corpus row lands in one
+    bucket per table, a query probes its bucket per table plus single-bit
+    flips (multi-probe). Exact cosine runs only on bucket-colliding
+    candidates — at 10^12 rows this replaces the O(Q·N) brute scan with
+    L equi-joins whose fan-in is the bucket occupancy.
+
+    Tuning: per-plane collision prob is 1 − θ/π. The defaults (J=6, L=6,
+    1-bit probes) target ~0.7+ recall@5 even when true neighbors sit at
+    ~70° (the hard, near-orthogonal regime); raise J / lower L for tighter
+    clusters to cut candidate fan-in.
+    """
+    if dim is None:
+        dim = len(items.select(vec_col).first()[0])
+    tables = [_hyperplanes(dim, n_planes, seed=42 + 97 * t)
+              for t in range(n_tables)]
+
+    it = items.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    it = it.withColumn(
+        "bucket",
+        F.explode(F.array(*[
+            lsh_signature_col("v", tables[t]) + F.lit(t << n_planes)
+            for t in range(n_tables)
+        ])),
+    ).withColumn("nv", _norm(F.col("v")))
+
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<double>").alias("qv"),
+    ).withColumn("nq", _norm(F.col("qv")))
+    probes = []
+    for t in range(n_tables):
+        sig = lsh_signature_col("qv", tables[t]) + F.lit(t << n_planes)
+        probes.append(sig)
+        if probe_flips >= 1:
+            for j in range(n_planes):
+                probes.append(sig.bitwiseXOR(F.lit(1 << j)))
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+
+    scored = it.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid", "vec_id",
+        F.round(
+            _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")),
+            SIM_DECIMALS,
+        ).alias("sim"),
+    ).dropDuplicates(["qid", "vec_id"])
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.col("rank").cast("long").alias("rank"), "sim")
+    )

@@ -1,0 +1,98 @@
+"""Text analytics for corpus curation: quality scoring, language-ID
+heuristic, token counting, document fingerprinting.
+
+All pure DataFrame expressions (whole-stage codegen); each has an exact
+SQL mirror in __spark_entry__.oracle_sql. Stopword sets and thresholds are
+fixed constants — determinism over linguistics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from colbert_spark.functions import analysis
+
+#: tiny fixed English function-word set for ratio features (deterministic,
+#: not a real lexicon — mirrors what the oracle SQL hardcodes)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _stop_array():
+    return F.array(*[F.lit(s) for s in STOPWORDS])
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_chars_norm, avg_token_len, stopword_ratio, quality)
+
+    quality = 1 if 5 ≤ n_tokens ≤ 500 and stopword_ratio < 0.5 (web-text
+    boilerplate/garbage gate; thresholds are config, not science)."""
+    t = docs.select(F.col(id_col), analysis.tokens(text_col).alias("_t"))
+    # stopword ratio counts occurrences (not distinct membership)
+    stop_count = F.size(F.filter("_t", lambda x: F.array_contains(_stop_array(), x)))
+    feat = t.select(
+        id_col,
+        F.size("_t").alias("n_tokens"),
+        F.length(F.array_join("_t", " ")).alias("n_chars_norm"),
+        F.round(
+            F.when(F.size("_t") > 0,
+                   F.aggregate("_t", F.lit(0), lambda a, x: a + F.length(x))
+                   .cast("double") / F.size("_t")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(F.size("_t") > 0,
+                   stop_count.cast("double") / F.size("_t")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("stopword_ratio"),
+    )
+    return feat.withColumn(
+        "quality",
+        (
+            (F.col("n_tokens") >= 5)
+            & (F.col("n_tokens") <= 500)
+            & (F.col("stopword_ratio") < 0.5)
+        ).cast("int"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, fp): md5 of the normalized token stream — the content identity
+    used for exact dedup and cross-run lineage."""
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.encode(F.array_join(analysis.tokens(text_col), " "), "UTF-8"))
+        .alias("fp"),
+    )
+
+
+def token_counts_by(docs: DataFrame, group_col: str, text_col: str = "text"
+                    ) -> DataFrame:
+    """Per-group doc + token totals (whitespace-regex tokens)."""
+    t = docs.select(F.col(group_col), analysis.doclen(text_col).alias("n"))
+    return t.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.round(F.avg("n"), 6).alias("avg_tokens"),
+    )
+
+
+def lang_id_heuristic(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, en_ratio, lang_pred): deterministic function-word heuristic —
+    'en' if any stopword appears in ≥5% of tokens, else 'unk'. A stand-in
+    for a real n-gram model; the Spark plumbing (not the linguistics) is
+    the point."""
+    t = docs.select(F.col(id_col), analysis.tokens(text_col).alias("_t"))
+    ratio = F.when(
+        F.size("_t") > 0,
+        F.size(F.filter("_t", lambda x: F.array_contains(_stop_array(), x)))
+        .cast("double") / F.size("_t"),
+    ).otherwise(F.lit(0.0))
+    return t.select(
+        id_col,
+        F.round(ratio, 6).alias("en_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )

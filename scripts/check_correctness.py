@@ -1,0 +1,98 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() in DuckDB at the given sf dir; compare
+row count, column names, and order-insensitive values.
+
+Usage: python scripts/check_correctness.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from colbert_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(rows, cols):
+    """Sort columns by name, round floats, sort rows — order-insensitive form."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = 0.0 if (not math.isfinite(v)) else round(v, 6)
+                v = 0.0 if v == 0 else v  # -0.0 == 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(map(repr, out)), [cols[i] for i in order]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="correctness", cpus=16, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"FAIL  {name}: oracle error {str(e)[:200]}")
+            continue
+        sn, sc = normalize([tuple(r) for r in srows], scols)
+        on, oc = normalize(orows, ocols)
+        if sc != oc:
+            failures.append((name, f"schema: spark={sc} oracle={oc}"))
+            print(f"FAIL  {name}: schema mismatch spark={sc} oracle={oc}")
+        elif len(sn) != len(on):
+            failures.append((name, f"rows: spark={len(sn)} oracle={len(on)}"))
+            print(f"FAIL  {name}: row count spark={len(sn)} oracle={len(on)}")
+        elif sn != on:
+            diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+            failures.append((name, f"values: {diff}"))
+            print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+        else:
+            print(f"OK    {name}: {len(sn)} rows")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES")
+        sys.exit(1)
+    print("ALL OK")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
