@@ -152,3 +152,87 @@ def doc_stats(token_df: DataFrame) -> DataFrame:
     """(pid, doclen) — one row per doc (analog of doclens.{chunk}.json,
     collection_indexer.py:349-356)."""
     return token_df.groupBy("pid").agg(F.first("doclen").alias("doclen"))
+
+
+def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
+    """Segment compaction (S13, colbert/utils/coalesce.py:9-111 analog +
+    reference index_coalesce_test.py equivalence contract): decode every
+    term's blocks across all salt runs / appended segments, drop
+    tombstoned pids, and rewrite one clean pid-sorted run of blocks per
+    term. Rankings before and after must be identical (tested).
+
+    The per-term merge happens in applyInPandas (numpy decode → concat →
+    sort → re-blockify via the standard build kernel path); Iceberg's
+    rewrite_data_files would replace this wholesale on a real catalog.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from colbert_spark.functions.codec import decode_pids, decode_tfs
+    from colbert_spark.sources.catalog import POSTINGS_SCHEMA
+
+    from pyspark.sql import SparkSession
+
+    ss = SparkSession.getActiveSession()
+    blocks = catalog.read(ss, "postings")
+    term_dict = catalog.read(ss, "term_dict").select("term_id", "idf")
+    try:
+        tomb_rows = catalog.read(ss, "tombstones").collect()
+        tombs = np.sort(np.array([r["pid"] for r in tomb_rows], dtype=np.int64))
+    except Exception:
+        tombs = np.empty(0, dtype=np.int64)
+
+    kernel = _make_block_builder(config.block_size, avgdl, config.k1, config.b)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pids, tfs, dls = [], [], []
+        for pb, tb, db in zip(pdf["pids"], pdf["tfs"], pdf["dls"]):
+            pids.append(decode_pids(bytes(pb)))
+            tfs.append(decode_tfs(bytes(tb)))
+            dls.append(decode_tfs(bytes(db)))
+        p = np.concatenate(pids)
+        t, d = np.concatenate(tfs), np.concatenate(dls)
+        if tombs.size:
+            keep = ~np.isin(p, tombs)
+            p, t, d = p[keep], t[keep], d[keep]
+        if p.size and np.unique(p).size != p.size:
+            # duplicate postings for one pid = corrupted segment set;
+            # IndexUpdater.add prevents this by compacting before re-add
+            raise ValueError(
+                f"term {int(pdf['term_id'].iloc[0])}: duplicate pids in segments"
+            )
+        if p.size == 0:
+            return pd.DataFrame(
+                columns=["term_id", "block_id", "first_pid", "last_pid",
+                         "num_postings", "max_block_score", "pids", "tfs", "dls"]
+            )
+        flat = pd.DataFrame(
+            {
+                "term_id": pdf["term_id"].iloc[0],
+                "salt": 0,
+                "idf": pdf["idf"].iloc[0],
+                "pid": p, "tf": t, "doclen": d,
+            }
+        )
+        return kernel(flat)
+
+    merged = (
+        blocks.join(F.broadcast(term_dict), "term_id")
+        .groupBy("term_id")
+        .applyInPandas(merge, schema=POSTINGS_SCHEMA)
+        .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(config.index_partitions)))
+    )
+    tmp = catalog.path("postings_compact_tmp")
+    (
+        merged.repartition(config.index_partitions, "bucket")
+        .sortWithinPartitions("term_id", "block_id")
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    )
+    import shutil
+    from pathlib import Path
+
+    shutil.rmtree(catalog.path("postings"))
+    Path(tmp).rename(catalog.path("postings"))
+    for t in ("tombstones",):
+        if Path(catalog.path(t)).exists():
+            shutil.rmtree(catalog.path(t))

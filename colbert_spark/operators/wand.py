@@ -50,7 +50,8 @@ def _term_scores(tfs: np.ndarray, dls: np.ndarray, idf: float,
     return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
-def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float
+def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float,
+                       excluded: np.ndarray | None = None
                        ) -> tuple[np.ndarray, np.ndarray]:
     """MaxScore kernel for ONE query's blocks → (top pids, top scores).
 
@@ -90,6 +91,11 @@ def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float
             pids = decode_pids(bytes(pb))
             scores = _term_scores(decode_tfs(bytes(tb)), decode_tfs(bytes(db)),
                                   idf, avgdl)
+            if excluded is not None:
+                keep = ~np.isin(pids, excluded, assume_unique=False)
+                pids, scores = pids[keep], scores[keep]
+                if pids.size == 0:
+                    continue
             if not essential:
                 mask = np.isin(pids, acc_pids, assume_unique=True)
                 pids, scores = pids[mask], scores[mask]
@@ -116,16 +122,19 @@ def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float
     return acc_pids[top], rounded[top]
 
 
-def topk_gather(query_blocks: DataFrame, k: int, avgdl: float) -> DataFrame:
+def topk_gather(query_blocks: DataFrame, k: int, avgdl: float,
+                excluded: "np.ndarray | None" = None) -> DataFrame:
     """query_blocks: (qid, term_id, idf, first_pid, last_pid,
     max_block_score, pids, tfs, dls) → ranking(qid, pid, rank, score).
 
     One applyInPandas group per qid; the kernel does the skipping.
+    excluded: sorted pid array (tombstones) dropped after decode.
     """
+    excluded = None if excluded is None or excluded.size == 0 else excluded
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iloc[0])
-        pids, scores = score_query_blocks(pdf, k, avgdl)
+        pids, scores = score_query_blocks(pdf, k, avgdl, excluded=excluded)
         return pd.DataFrame(
             {
                 "qid": qid,
@@ -139,7 +148,8 @@ def topk_gather(query_blocks: DataFrame, k: int, avgdl: float) -> DataFrame:
 
 
 def topk_scatter(blocks: DataFrame, qterms: DataFrame, k: int,
-                 avgdl: float, qid_to_pids: DataFrame | None = None) -> DataFrame:
+                 avgdl: float, qid_to_pids: DataFrame | None = None,
+                 tombstones: DataFrame | None = None) -> DataFrame:
     """Score blocks in place (no per-query gather), then relational top-k.
 
     Each block is decoded ONCE regardless of how many queries share the
@@ -174,6 +184,9 @@ def topk_scatter(blocks: DataFrame, qterms: DataFrame, k: int,
     partials = blocks.select("term_id", "pids", "tfs", "dls").mapInPandas(
         kernel, schema="term_id long, pid long, core double"
     )
+    if tombstones is not None:
+        partials = partials.join(F.broadcast(tombstones.select("pid")),
+                                 "pid", "left_anti")
     scored = partials.join(F.broadcast(qterms), "term_id").select(
         "qid", "pid", (F.col("idf") * F.col("core")).alias("s")
     )

@@ -1,0 +1,159 @@
+"""IndexUpdater — incremental index maintenance without a rebuild.
+
+Parity: colbert/index_updater.py:28-274 (add :97-148, remove :57-95,
+persist_to_disk :176-273). The reference appends compressed embeddings and
+patches the IVF in memory, WITHOUT retraining centroids; our analog
+appends posting segments computed against FROZEN corpus statistics
+(N, avgdl, idf unchanged) and removes docs via tombstones. Scores for new
+docs therefore use the stats frozen at build time — the exact same
+approximation the reference makes by not re-running k-means. A periodic
+`coalesce` (operators/builder.coalesce_index) folds tombstones + appended
+segments back into clean blocks (analog of utils/coalesce.py).
+
+remove(pids)  → tombstone rows; search excludes them at decode time.
+add(docs)     → build blocks for the new docs with frozen stats; append
+                as new segments (salt namespace 1<<20 avoids block_id
+                collisions); re-adding a tombstoned pid clears its
+                tombstone (reference re-add semantics,
+                index_updater_test.py:50-208).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from colbert_spark.operators import builder
+from colbert_spark.plans.config import ColBERTConfig
+from colbert_spark.sources.catalog import IndexCatalog
+
+_ADD_SALT_BASE = 1 << 20  # keeps appended block_ids disjoint from build-time
+
+
+class IndexUpdater:
+    def __init__(self, index: str, spark: SparkSession,
+                 config: ColBERTConfig | None = None):
+        self.spark = spark
+        cfg = ColBERTConfig.from_existing(config)
+        cfg.index_name = index
+        self.config = cfg
+        self.catalog = IndexCatalog(cfg.index_path())
+        meta = self.catalog.read_json("metadata.json")
+        self.num_docs: int = meta["num_docs"]
+        self.avgdl: float = meta["avg_doclen"]
+
+    # -- remove ------------------------------------------------------------
+    def remove(self, pids: list[int]) -> None:
+        new = self.spark.createDataFrame([(int(p),) for p in pids], "pid long")
+        try:
+            old = self.catalog.read(self.spark, "tombstones")
+            merged = old.unionByName(new).dropDuplicates(["pid"])
+        except Exception:
+            merged = new.dropDuplicates(["pid"])
+        pdf = merged.toPandas()  # tombstone sets are small by contract
+        self.spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            self.catalog.path("tombstones")
+        )
+
+    # -- add ---------------------------------------------------------------
+    def add(self, docs: DataFrame, id_col: str = "pid",
+            text_col: str = "text") -> None:
+        """Append postings for new docs under frozen corpus stats.
+
+        A pid may be added only if absent from the live index. Re-adding a
+        previously removed pid triggers a compaction first (coalesce) so the
+        old postings are physically gone — clearing the tombstone alone
+        would resurrect them alongside the new ones.
+        """
+        cfg = self.config
+        added = docs.select(F.col(id_col).alias("pid")).distinct()
+        try:
+            tombs = self.catalog.read(self.spark, "tombstones")
+            readded = tombs.join(added, "pid", "left_semi").count()
+        except Exception:
+            tombs, readded = None, 0
+        if readded:
+            # physically drop tombstoned postings before re-adding the pid
+            removed_pids = tombs.toPandas()  # small by contract
+            builder.coalesce_index(self.catalog, cfg, self.avgdl)
+            tombs = None
+            removed = self.spark.createDataFrame(removed_pids)
+        else:
+            removed = None
+        live = self.catalog.read(self.spark, "doc_stats").select("pid")
+        if tombs is not None:
+            live = live.join(tombs, "pid", "left_anti")
+        if removed is not None:
+            live = live.join(removed, "pid", "left_anti")
+        clash = live.join(added, "pid", "left_semi").count()
+        if clash:
+            raise ValueError(
+                f"{clash} pid(s) already live in the index; remove() them first"
+            )
+        token_df = builder.tokenize(docs, cfg, id_col=id_col, text_col=text_col)
+        if id_col != "pid":
+            token_df = token_df.withColumnRenamed(id_col, "pid")
+
+        term_dict = self.catalog.read(self.spark, "term_dict")
+        # frozen idf for known terms; brand-new terms get idf at df=0 under
+        # the frozen N (max idf — consistent with "stats not retrained")
+        from colbert_spark.functions import bm25 as bm25f
+
+        known = term_dict.select("term", "term_id", "idf")
+        enriched = token_df.join(F.broadcast(known), "term", "left").select(
+            F.coalesce("term_id", F.xxhash64("term")).alias("term_id"),
+            "pid", "tf", "doclen",
+            F.coalesce(
+                "idf", bm25f.idf(F.lit(0), self.num_docs)
+            ).alias("idf"),
+            F.lit(0).cast("long").alias("salt"),
+        )
+        # reuse the build kernel, but in a disjoint block_id namespace
+        kernel = builder._make_block_builder(cfg.block_size, self.avgdl,
+                                             cfg.k1, cfg.b)
+        from colbert_spark.sources.catalog import POSTINGS_SCHEMA
+
+        blocks = (
+            enriched.withColumn("salt", F.lit(_ADD_SALT_BASE))
+            .repartition(cfg.shuffle_partitions, "term_id")
+            .groupBy("term_id", "salt")
+            .applyInPandas(kernel, schema=POSTINGS_SCHEMA)
+            .withColumn(
+                "bucket", F.pmod(F.col("term_id"), F.lit(cfg.index_partitions))
+            )
+        )
+        blocks.write.mode("append").partitionBy("bucket").parquet(
+            self.catalog.path("postings")
+        )
+        # brand-new terms must enter the dictionary or they're unsearchable;
+        # their idf stays the frozen-stats df=0 value used for their blocks
+        new_terms = (
+            token_df.select("term").distinct()
+            .join(term_dict.select("term"), "term", "left_anti")
+            .select(
+                "term",
+                F.xxhash64("term").alias("term_id"),
+                F.lit(0).cast("long").alias("df"),
+                F.lit(0).cast("long").alias("cf"),
+                bm25f.idf(F.lit(0), self.num_docs).alias("idf"),
+            )
+        )
+        new_terms.write.mode("append").parquet(self.catalog.path("term_dict"))
+        # doc_stats: drop any stale row for re-added pids, append the new
+        # ones; tmp-dir + rename keeps the swap atomic-ish and distributed
+        import shutil
+        from pathlib import Path
+
+        old_stats = self.catalog.read(self.spark, "doc_stats").join(
+            added, "pid", "left_anti"
+        )
+        merged_stats = old_stats.unionByName(builder.doc_stats(token_df))
+        tmp = self.catalog.path("doc_stats_tmp")
+        merged_stats.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.catalog.path("doc_stats"))
+        Path(tmp).rename(self.catalog.path("doc_stats"))
+
+    def persist_to_disk(self) -> None:
+        """No-op: every mutation above is already durable (the reference
+        buffers in memory and flushes here, index_updater.py:176-273; Spark
+        writes are immediate)."""

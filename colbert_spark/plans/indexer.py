@@ -71,10 +71,16 @@ class Indexer:
         t0 = time.monotonic()
 
         # ---- setup + train: tokens, corpus stats, term dictionary --------
+        # job-count discipline: each driver action costs ~0.5-2s of fixed
+        # scheduling latency regardless of cluster size, which is exactly
+        # what erodes N→4N scaling efficiency. Stats are folded into as few
+        # actions as possible.
         token_df = builder.tokenize(collection, cfg).persist()
-        from colbert_spark.operators.brute import corpus_stats
-
-        num_docs, avgdl = corpus_stats(token_df)
+        doc_stats_df = builder.doc_stats(token_df).persist()
+        row = doc_stats_df.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+        ).collect()[0]
+        num_docs, avgdl = int(row["n"]), float(row["avgdl"])
         term_dict = builder.build_term_dict(token_df, num_docs).persist()
         n_terms, n_term_ids, num_postings = (
             term_dict.agg(
@@ -128,7 +134,7 @@ class Indexer:
 
         # ---- finalize: stats tables, manifest, metadata -------------------
         cat.write(term_dict, "term_dict")
-        cat.write(builder.doc_stats(token_df), "doc_stats")
+        cat.write(doc_stats_df, "doc_stats")
         stats_df = spark.createDataFrame(
             [(num_docs, avgdl, int(n_terms), int(num_postings))],
             "num_docs long, avg_doclen double, num_terms long, num_postings long",
@@ -136,15 +142,11 @@ class Indexer:
         cat.write(stats_df, "corpus_stats")
 
         wall_ms = int((time.monotonic() - t0) * 1000)
-        fp = (
-            token_df.join(F.broadcast(term_dict.select("term", "term_id")), "term")
-            .groupBy(F.pmod("term_id", F.lit(cfg.index_partitions)).alias("bucket"))
-            .agg(
-                # bit_xor: order-independent, overflow-free content fingerprint
-                F.bit_xor(F.xxhash64("term_id", "pid", "tf")).alias("fp"),
-            )
-        )
-        written = (
+        # single read-back pass: per-bucket lineage metrics + content
+        # fingerprint (bit_xor: order-independent, overflow-free). The build
+        # is deterministic, so the segment-content fingerprint doubles as an
+        # input-drift detector for resume.
+        per_bucket = (
             cat.read(spark, "postings")
             .groupBy("bucket")
             .agg(
@@ -155,13 +157,20 @@ class Indexer:
                     + F.octet_length("tfs")
                     + F.octet_length("dls")
                 ).alias("bytes_written"),
+                F.bit_xor(
+                    F.xxhash64("term_id", "block_id", "first_pid", "num_postings")
+                ).alias("fp"),
             )
         )
+        # every bucket gets a row, even if empty (resume contract)
         manifest = (
-            fp.join(written, "bucket", "left")
+            spark.range(cfg.index_partitions).withColumnRenamed("id", "bucket")
+            .join(per_bucket, "bucket", "left")
             .select(
                 F.col("bucket").cast("long"),
-                F.col("fp").cast("string").alias("input_fingerprint"),
+                F.coalesce(F.col("fp").cast("string"), F.lit("empty")).alias(
+                    "input_fingerprint"
+                ),
                 F.coalesce("num_blocks", F.lit(0)).alias("num_blocks"),
                 F.coalesce("num_postings", F.lit(0)).alias("num_postings"),
                 F.coalesce("bytes_written", F.lit(0)).alias("bytes_written"),
@@ -183,5 +192,6 @@ class Indexer:
             },
         )
         token_df.unpersist()
+        doc_stats_df.unpersist()
         term_dict.unpersist()
         return str(cat.root)

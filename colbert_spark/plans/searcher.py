@@ -52,6 +52,18 @@ class Searcher:
         self.avgdl: float = meta["avg_doclen"]
         self.term_dict = self.catalog.read(spark, "term_dict").persist()
         self.term_dict.count()  # materialize once
+        self._load_tombstones()
+
+    def _load_tombstones(self) -> None:
+        """Removed pids (IndexUpdater.remove analog) — excluded at decode."""
+        import numpy as np
+
+        try:
+            rows = self.catalog.read(self.spark, "tombstones").collect()
+            self.tombstones = np.sort(np.array([r["pid"] for r in rows],
+                                               dtype=np.int64))
+        except Exception:
+            self.tombstones = None
 
     # -- query encoding (lexical analog of Searcher.encode) ----------------
     def _query_terms(self, queries: DataFrame) -> DataFrame:
@@ -100,15 +112,22 @@ class Searcher:
             empty = self.spark.createDataFrame([], wand.RANKING_SCHEMA)
             return Ranking(empty, self._provenance(k, mode))
 
+        tomb_df = None
+        if self.tombstones is not None and self.tombstones.size:
+            tomb_df = self.spark.createDataFrame(
+                [(int(p),) for p in self.tombstones], "pid long"
+            )
         if qid_to_pids is not None or mode == "scatter":
             ranking = wand.topk_scatter(blocks, qterms, k, self.avgdl,
-                                        qid_to_pids=qid_to_pids)
+                                        qid_to_pids=qid_to_pids,
+                                        tombstones=tomb_df)
         else:
             qblocks = blocks.join(F.broadcast(qterms), "term_id").select(
                 "qid", "term_id", "idf", "first_pid", "last_pid",
                 "max_block_score", "pids", "tfs", "dls",
             )
-            ranking = wand.topk_gather(qblocks, k, self.avgdl)
+            ranking = wand.topk_gather(qblocks, k, self.avgdl,
+                                       excluded=self.tombstones)
         return Ranking(ranking, self._provenance(k, mode))
 
     def search(self, text: str, k: int = 10,

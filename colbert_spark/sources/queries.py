@@ -1,0 +1,94 @@
+"""Queries / Qrels / TopK loaders & sinks (TSV + JSONL).
+
+Parity: colbert/data/queries.py:11-121 (Queries), evaluation/loaders.py:
+15-30 (load_queries), :33-56 (load_qrels), :59-152 (load_topK),
+queries.py:84-93 (save).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def load_queries_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """qid \\t text; qid uniqueness enforced (loaders.py:27: 'Query QID must
+    be unique')."""
+    df = spark.read.csv(path, sep="\t").select(
+        F.col("_c0").cast("long").alias("qid"),
+        F.col("_c1").alias("text"),
+    )
+    n, nd = df.agg(F.count("qid"), F.countDistinct("qid")).first()
+    if n != nd:
+        raise ValueError(f"Query QIDs must be unique: {n} rows, {nd} distinct")
+    return df
+
+
+def load_queries_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """lines {qid, question, ...} (queries.py:50-67 QA path)."""
+    df = spark.read.json(path)
+    qcol = "question" if "question" in df.columns else "text"
+    return df.select(F.col("qid").cast("long").alias("qid"),
+                     F.col(qcol).alias("text"))
+
+
+def save_queries_tsv(queries: DataFrame, path: str) -> None:
+    queries.select("qid", "text").orderBy("qid").coalesce(1).write.mode(
+        "overwrite"
+    ).csv(path, sep="\t")
+
+
+def load_qrels_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """qid \\t 0 \\t pid \\t 1, deduped per qid (loaders.py:33-56; the
+    format constants are asserted there at :43)."""
+    df = spark.read.csv(path, sep="\t").select(
+        F.col("_c0").cast("long").alias("qid"),
+        F.col("_c1").cast("int").alias("x"),
+        F.col("_c2").cast("long").alias("pid"),
+        F.col("_c3").cast("int").alias("label"),
+    )
+    bad = df.filter((F.col("x") != 0) | (F.col("label") != 1)).count()
+    if bad:
+        raise ValueError(f"qrels format: expected 'qid 0 pid 1', {bad} bad rows")
+    return df.select("qid", "pid").dropDuplicates(["qid", "pid"])
+
+
+def load_topk_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """qid \\t pid \\t query \\t passage (rerank candidates, loaders.py:59-152)."""
+    return spark.read.csv(path, sep="\t").select(
+        F.col("_c0").cast("long").alias("qid"),
+        F.col("_c1").cast("long").alias("pid"),
+        F.col("_c2").alias("query"),
+        F.col("_c3").alias("passage"),
+    )
+
+
+def docs2passages(docs: DataFrame, id_col: str = "pid", text_col: str = "text",
+                  max_words: int = 180, overlap: bool = False) -> DataFrame:
+    """Document → passage splitter (S14, utility/preprocess/docs2passages.py:
+    19-53): fixed word windows; with overlap=True, stride max_words/2.
+
+    Output: (doc_id, passage_idx, passage). posexplode keeps it one
+    JVM-side pass — no UDF.
+    """
+    stride = max_words // 2 if overlap else max_words
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(words) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            words.alias("_w"),
+            F.posexplode(starts).alias("passage_idx", "_start"),
+        )
+        .select(
+            "doc_id", "passage_idx",
+            F.array_join(
+                F.slice("_w", F.col("_start") + 1, max_words), " "
+            ).alias("passage"),
+        )
+        .filter(F.col("passage") != "")
+    )

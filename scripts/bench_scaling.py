@@ -1,0 +1,114 @@
+"""Scaling-efficiency evidence (north_rule): the same index-build job at
+two parallelism levels on the SAME input, reporting docs/sec at both and
+the strong-scaling efficiency between them.
+
+In-sandbox stand-in for N vs 4N executors: local[N] vs local[4N] (fresh
+JVM per run via subprocess so the measurements don't share a scheduler).
+The input is the deterministic synthetic corpus (datagen) at a size where
+work dominates fixed overheads — content is identical at any parallelism
+by construction (Philox counter RNG keyed by doc_id).
+
+Usage: python scripts/bench_scaling.py [n_docs] [N] [multiplier]
+Writes/updates BENCH.md with the measured table.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUN_TEMPLATE = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from colbert_spark.session import get_spark
+from colbert_spark.sources.datagen import generate_documents
+from colbert_spark.plans.config import ColBERTConfig
+from colbert_spark.plans.indexer import Indexer
+import pyspark.sql.functions as F
+
+cpus = {cpus}
+n_docs = {n_docs}
+spark = get_spark(app_name=f"scaling-{{cpus}}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+# materialize the corpus to parquet first so generation cost (CPU-bound,
+# trivially parallel) does not flatter the index-build scaling number
+path = f"/tmp/scaling_corpus_{{n_docs}}"
+import os
+if not os.path.exists(path + "/_SUCCESS"):
+    generate_documents(spark, n_docs, partitions=64).write.mode("overwrite").parquet(path)
+# deterministic non-negative pid from the unique url (collision-free at
+# this scale; production pid assignment = sources/collection.assign_pids)
+corpus = spark.read.parquet(path).select(
+    F.pmod(F.xxhash64("url"), F.lit(1 << 62)).alias("pid"), "text")
+
+cfg = ColBERTConfig(index_root="/tmp/colbert_scaling_idx", shuffle_partitions=max(cpus, 8))
+t0 = time.monotonic()
+Indexer(cfg).index(f"scale_{{cpus}}", corpus, overwrite="force_silent_overwrite")
+dt = time.monotonic() - t0
+print(json.dumps({{"cpus": cpus, "n_docs": n_docs, "sec": round(dt, 2),
+                   "docs_per_sec": round(n_docs / dt, 1)}}))
+"""
+
+
+def run_once(cpus: int, n_docs: int) -> dict:
+    code = RUN_TEMPLATE.format(repo=str(REPO), cpus=cpus, n_docs=n_docs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        print(out.stdout[-2000:], out.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"scaling run cpus={cpus} produced no JSON")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    lo = run_once(n, n_docs)
+    hi = run_once(n * mult, n_docs)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / mult
+    result = {
+        "n_docs": n_docs,
+        "low": lo,
+        "high": hi,
+        "multiplier": mult,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH — measured engine performance
+
+## Index-build scaling (north_rule: efficiency ≥ 0.8 from N to {mult}N)
+
+Same job (full inverted-index build: tokenize → term dict → salted varint
+blocks → manifest), same {n_docs:,}-doc synthetic corpus (datagen, seed 42,
+byte-identical at any parallelism), fresh JVM per run.
+
+| cluster size (cores) | wall (s) | docs/sec |
+|---|---|---|
+| local[{n}] (N) | {lo['sec']} | {lo['docs_per_sec']} |
+| local[{n * mult}] ({mult}N) | {hi['sec']} | {hi['docs_per_sec']} |
+
+**Scaling efficiency ({mult}N vs N): {eff:.3f}** (target ≥ 0.8).
+
+Reproduce: `python scripts/bench_scaling.py {n_docs} {n} {mult}`
+
+## Per-round headline timings
+
+See `BENCH_r*.json` (driver-recorded, `bench.py` at sf0.1) — includes
+`index_docs_per_sec`. Reference baseline (BASELINE.md): ~28 docs/sec
+(Colab T4 GPU, 10k passages ≈ 6 min).
+"""
+    (REPO / "BENCH.md").write_text(md)
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()

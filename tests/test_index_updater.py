@@ -1,0 +1,98 @@
+"""IndexUpdater semantics (mirror of colbert/tests/index_updater_test.py:
+50-208): remove pids → gone from results; re-add → results restored;
+coalesce → identical rankings with fewer blocks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from colbert_spark.operators import builder
+from colbert_spark.plans.config import ColBERTConfig
+from colbert_spark.plans.index_updater import IndexUpdater
+from colbert_spark.plans.indexer import Indexer
+from colbert_spark.plans.searcher import Searcher
+from colbert_spark.sources.catalog import IndexCatalog
+from colbert_spark.sources.datagen import gen_docs_pdf, gen_queries_pdf
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    cfg = ColBERTConfig(
+        index_root=str(tmp_path), block_size=32, index_partitions=8,
+        salt_df_threshold=100, salt_buckets=4, shuffle_partitions=8,
+    )
+    docs_pdf = gen_docs_pdf(np.arange(200))
+    docs_pdf["pid"] = np.arange(200)
+    docs = spark.createDataFrame(docs_pdf[["pid", "text"]])
+    queries = spark.createDataFrame(gen_queries_pdf(np.arange(12)))
+    Indexer(cfg).index("u1", docs, overwrite=True)
+    return cfg, docs, queries
+
+
+def _rank(spark, cfg, queries):
+    return sorted(map(tuple,
+                      Searcher("u1", spark, cfg).search_all(queries, k=10).df.collect()))
+
+
+def test_remove_then_readd_restores(spark, env):
+    cfg, docs, queries = env
+    before = _rank(spark, cfg, queries)
+    victims = sorted({r[1] for r in before})[:3]  # pids appearing in results
+
+    up = IndexUpdater("u1", spark, cfg)
+    up.remove(victims)
+    after_remove = _rank(spark, cfg, queries)
+    assert all(pid not in victims for (_, pid, _, _) in after_remove)
+    assert after_remove != before
+
+    up2 = IndexUpdater("u1", spark, cfg)
+    up2.add(docs.filter(F.col("pid").isin(victims)))
+    after_readd = _rank(spark, cfg, queries)
+    assert after_readd == before  # frozen stats ⇒ exact restoration
+
+
+def test_add_duplicate_pid_rejected(spark, env):
+    cfg, docs, _ = env
+    with pytest.raises(ValueError, match="already live"):
+        IndexUpdater("u1", spark, cfg).add(docs.filter(F.col("pid") == 5))
+
+
+def test_add_new_docs_and_terms_searchable(spark, env):
+    cfg, docs, queries = env
+    new = spark.createDataFrame(
+        [(1000, "zzbrandnew zzbrandnew t00000 t00004"),
+         (1001, "zzbrandnew other words here")],
+        "pid long, text string",
+    )
+    IndexUpdater("u1", spark, cfg).add(new)
+    s = Searcher("u1", spark, cfg)
+    pids, ranks, scores = s.search("zzbrandnew", k=5)
+    assert set(pids) == {1000, 1001}
+    assert pids[0] == 1000  # tf=2 beats tf=1
+
+
+def test_coalesce_preserves_rankings_and_compacts(spark, env):
+    cfg, docs, queries = env
+    import pathlib as _pl
+    cat = IndexCatalog(str(_pl.Path(cfg.index_root) / "u1"))
+    before = _rank(spark, cfg, queries)
+    n_blocks_before = cat.read(spark, "postings").count()
+
+    up = IndexUpdater("u1", spark, cfg)
+    up.remove([0, 1, 2])
+    builder.coalesce_index(cat, cfg, up.avgdl)
+    after = _rank(spark, cfg, queries)
+    # tombstones physically gone; results identical to tombstone-filtered
+    removed_live = {r[1] for r in after} & {0, 1, 2}
+    assert not removed_live
+    n_blocks_after = cat.read(spark, "postings").count()
+    # salted head term (4 salt runs) merges into fewer, fuller blocks
+    assert n_blocks_after <= n_blocks_before
+    # no tombstones left on disk
+    import pathlib
+    assert not pathlib.Path(cat.path("tombstones")).exists()
+    # rankings equal a fresh searcher's view before compaction
+    up_check = _rank(spark, cfg, queries)
+    assert up_check == after

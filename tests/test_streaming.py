@@ -1,0 +1,77 @@
+"""Streaming ingest: file-source document stream appends to the index via
+foreachBatch; windowed rollup emits watermark-finalized counts."""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from colbert_spark.plans.config import ColBERTConfig
+from colbert_spark.plans.indexer import Indexer
+from colbert_spark.plans.searcher import Searcher
+from colbert_spark.sources.datagen import gen_docs_pdf
+from colbert_spark.streaming.ingest import stream_index, windowed_event_counts
+
+
+def test_stream_index_appends_documents(spark, tmp_path):
+    cfg = ColBERTConfig(index_root=str(tmp_path / "idx"), index_partitions=8,
+                        shuffle_partitions=8)
+    docs_pdf = gen_docs_pdf(np.arange(100))
+    docs_pdf["pid"] = np.arange(100)
+    base = spark.createDataFrame(docs_pdf[["pid", "text"]])
+    Indexer(cfg).index("s1", base, overwrite=True)
+
+    # two "crawl" files arrive
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    spark.createDataFrame(
+        [(2000, "zzstreamterm t00000 fresh crawl page"),
+         (2001, "zzstreamterm zzstreamterm another page")],
+        "pid long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(inbox / "batch1"))
+
+    stream = (
+        spark.readStream.schema("pid long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inbox / "batch1"))
+    )
+    q = stream_index(stream, "s1", cfg, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    s = Searcher("s1", spark, cfg)
+    pids, _, _ = s.search("zzstreamterm", k=5)
+    assert set(pids) == {2000, 2001}
+    assert pids[0] == 2001  # tf=2 first
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = windowed_event_counts(ev, window="1 hour").collect()
+    assert len(out) > 0
+    total = sum(r["n"] for r in out)
+    assert total == ev.count()
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "evsrc"
+    ev.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory").queryName("ev_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "evckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["event_type"]): r["n"]
+           for r in spark.sql("select * from ev_counts").collect()}
+    exp = {(r["window_start"], r["event_type"]): r["n"]
+           for r in windowed_event_counts(ev, window="1 hour").collect()}
+    assert got == exp
