@@ -10,13 +10,21 @@ oracle_sql()   — matching DuckDB SQL for every SQL-expressible operator.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = str(Path(__file__).resolve().parent)
+sys.path.insert(0, _REPO)
+# Python workers resolve `colbert_spark` through PYTHONPATH/cwd; arm the env
+# here so a driver that imports this module before (or without) our session
+# factory still ships the package to its executors.
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(":"):
+    os.environ["PYTHONPATH"] = f"{_REPO}:{_pp}" if _pp else _REPO
 
 from colbert_spark import entry_queries
 

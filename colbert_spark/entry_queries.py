@@ -324,6 +324,77 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_doclen_quantiles(spark, sf_dir):
+    """Distribution calibration (A6 analog — residual bucket quantiles,
+    collection_indexer.py:314-339): exact doclen percentiles."""
+    token_df = analysis.tokenize_docs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", maxlen=220
+    )
+    per_doc = token_df.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
+    return per_doc.agg(
+        F.round(F.expr("percentile(doclen, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(doclen, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(doclen, 0.99)"), 6).alias("p99"),
+        F.max("doclen").alias("max_doclen"),
+    )
+
+
+def q_eval_metrics(spark, sf_dir):
+    """Full eval harness (A8): MRR@10, Recall@5, Success@5 vs tf-top3
+    pseudo-qrels, in one row."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    token_df = analysis.tokenize_docs(docs, id_col="pid", text_col="text", maxlen=220)
+    qterms = brute.query_terms(_query_df(spark), 32)
+    tfsum = (
+        token_df.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "pid")
+        .agg(F.sum("tf").alias("tfs"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("tfs"), F.asc("pid"))
+    qrels = tfsum.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 3) \
+                 .select("qid", "pid")
+    ranking = q_bm25_top10(spark, sf_dir)
+    return (
+        metrics.mrr_at_k(ranking, qrels, 10)
+        .crossJoin(metrics.recall_at_k(ranking, qrels, 5))
+        .crossJoin(metrics.success_at_k(ranking, qrels, 5))
+    )
+
+
+def q_docs2passages(spark, sf_dir):
+    """Doc→passage splitter (S14): 20-word windows over doc_id < 50."""
+    from colbert_spark.sources.queries import docs2passages
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return docs2passages(docs, id_col="doc_id", max_words=20).select(
+        "doc_id", F.col("passage_idx").cast("long").alias("passage_idx"), "passage"
+    )
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling-window rollup (streaming operator, batch mode)."""
+    from colbert_spark.streaming.ingest import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_counts(ev, window="1 hour").select(
+        "window_start", "event_type", "n", "sum_value"
+    )
+
+
+def q_search_lang_filtered(spark, sf_dir):
+    """pid allow-list semantics (F3): BM25 top-10 restricted to lang='en'."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text", "lang")
+    ranking = brute.bm25_topk(docs.select("pid", "text"), _query_df(spark), k=10**9)
+    allowed = docs.filter(F.col("lang") == "en").select("pid")
+    restricted = ranking.drop("rank").join(allowed, "pid", "left_semi")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+    return (
+        restricted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "pid", "rank", "score")
+    )
+
+
 # ---- rows-only ops (no SQL-expressible oracle: xxhash64-based) -------------
 
 def q_dedup_minhash(spark, sf_dir):
@@ -365,6 +436,11 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_hourly": q_events_hourly,
+    "doclen_quantiles": q_doclen_quantiles,
+    "eval_metrics": q_eval_metrics,
+    "docs2passages": q_docs2passages,
+    "events_windowed": q_events_windowed,
+    "search_lang_filtered": q_search_lang_filtered,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh_top5": q_ann_lsh_top5,
@@ -632,6 +708,86 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
   FROM orders WHERE o_custkey < 50
 ) WHERE rn <= 3
+"""
+
+ORACLE["doclen_quantiles"] = f"""
+WITH {_SQL_CORPUS_CTES}
+SELECT round(quantile_cont(doclen, 0.5), 6) AS p50,
+       round(quantile_cont(doclen, 0.9), 6) AS p90,
+       round(quantile_cont(doclen, 0.99), 6) AS p99,
+       max(doclen) AS max_doclen
+FROM dl
+"""
+
+ORACLE["eval_metrics"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+tfsum AS (
+  SELECT qt.qid, tf.pid, sum(tf.tf) AS tfs
+  FROM qt JOIN tf USING (term) GROUP BY qt.qid, tf.pid
+),
+qrels AS (
+  SELECT qid, pid FROM (
+    SELECT qid, pid,
+           row_number() OVER (PARTITION BY qid ORDER BY tfs DESC, pid) AS r
+    FROM tfsum
+  ) WHERE r <= 3
+),
+qq AS (SELECT DISTINCT qid FROM qrels),
+nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid),
+hits AS (
+  SELECT r.qid, r.rank
+  FROM ranked r JOIN qrels q ON r.qid = q.qid AND r.pid = q.pid
+),
+mrr_q AS (
+  SELECT qq.qid, coalesce(1.0 / min(CASE WHEN h.rank <= 10 THEN h.rank END), 0.0) AS rr
+  FROM qq LEFT JOIN hits h ON qq.qid = h.qid GROUP BY qq.qid
+),
+rec_q AS (
+  SELECT nrel.qid,
+         coalesce(sum(CASE WHEN h.rank <= 5 THEN 1 ELSE 0 END), 0) * 1.0
+           / any_value(nrel.n_rel) AS r
+  FROM nrel LEFT JOIN hits h ON nrel.qid = h.qid GROUP BY nrel.qid
+),
+suc_q AS (
+  SELECT qq.qid,
+         CASE WHEN max(CASE WHEN h.rank <= 5 THEN 1 ELSE 0 END) = 1
+              THEN 1.0 ELSE 0.0 END AS s
+  FROM qq LEFT JOIN hits h ON qq.qid = h.qid GROUP BY qq.qid
+)
+SELECT (SELECT round(avg(rr), 6) FROM mrr_q) AS mrr,
+       (SELECT round(avg(r), 6) FROM rec_q) AS recall,
+       (SELECT round(avg(s), 6) FROM suc_q) AS success
+"""
+
+ORACLE["docs2passages"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(i // 20 AS BIGINT) AS passage_idx,
+       array_to_string(list_slice(words, i + 1, i + 20), ' ') AS passage
+FROM t, unnest(range(0, greatest(len(words), 1), 20)) AS u(i)
+WHERE array_to_string(list_slice(words, i + 1, i + 20), ' ') <> ''
+"""
+
+ORACLE["events_windowed"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE["search_lang_filtered"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+en AS (SELECT doc_id AS pid FROM documents WHERE lang = 'en'),
+allowed AS (
+  SELECT s.qid, s.pid, s.score FROM scored s JOIN en USING (pid)
+)
+SELECT qid, pid, rank, score FROM (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS rank
+  FROM allowed
+) WHERE rank <= 10
 """
 
 ORACLE["events_hourly"] = """

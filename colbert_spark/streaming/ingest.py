@@ -75,9 +75,10 @@ def windowed_event_counts(
     The same expression works in batch for backfills — one definition,
     two execution modes.
     """
-    # watermarks require TIMESTAMP (not NTZ); session TZ is pinned to UTC
-    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    df = events
     if df.isStreaming:
+        # watermarks require TIMESTAMP (not NTZ); session TZ pinned to UTC
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
