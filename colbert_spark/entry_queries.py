@@ -324,6 +324,72 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_flipr_topterms(spark, sf_dir):
+    """flipr-style interaction (A2, colbert/modeling/colbert.py:139-152):
+    per (query, doc) sum only the TOP-3 term scores (not all), then rank.
+    Lexical analog of 'top-K1 sum over the query part'."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    token_df = analysis.tokenize_docs(docs, id_col="pid", text_col="text", maxlen=220)
+    n, avgdl = brute.corpus_stats(token_df)
+    tstats = brute.term_stats(token_df)
+    qterms = brute.query_terms(_query_df(spark), 32)
+    qt = qterms.join(tstats, "term").select(
+        "qid", "term", bm25.idf(F.col("df"), n).alias("idf")
+    )
+    scored = token_df.join(F.broadcast(qt), "term").select(
+        "qid", "pid",
+        bm25.term_score(F.col("tf"), F.col("doclen"), avgdl, F.col("idf")).alias("s"),
+    )
+    top3sum = (
+        scored.groupBy("qid", "pid")
+        .agg(F.sort_array(F.collect_list("s"), asc=False).alias("ss"))
+        .select(
+            "qid", "pid",
+            F.round(
+                F.aggregate(F.slice("ss", 1, 3), F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+    return (
+        top3sum.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "pid", "rank", "score")
+    )
+
+
+#: fixed answer strings for the EM harness (X7) — substring of some docs
+ANSWER_SET: list[tuple[int, str]] = [
+    (0, "scan filter"),
+    (1, "window order"),
+    (2, "query data"),
+    (3, "fast key"),
+]
+
+
+def q_answer_em(spark, sf_dir):
+    """DPR-style answer exact-match (X7, utility/utils/dpr.py; used by
+    e2e_test.py:52) + collection point lookup (J5): for each query, does
+    any top-5 doc contain the answer string? → success rate."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    ranking = q_bm25_top10(spark, sf_dir).filter(F.col("rank") <= 5)
+    answers = spark.createDataFrame(ANSWER_SET, "qid long, answer string")
+    hit = (
+        ranking.join(F.broadcast(answers), "qid")
+        .join(docs, "pid")
+        .select(
+            "qid",
+            F.when(
+                F.contains(F.lower("text"), F.lower("answer")), 1.0
+            ).otherwise(0.0).alias("h"),
+        )
+        .groupBy("qid")
+        .agg(F.max("h").alias("hit"))
+    )
+    return answers.select("qid").join(hit, "qid", "left").fillna({"hit": 0.0}) \
+                  .agg(F.round(F.avg("hit"), 6).alias("success_em5"))
+
+
 def q_doclen_quantiles(spark, sf_dir):
     """Distribution calibration (A6 analog — residual bucket quantiles,
     collection_indexer.py:314-339): exact doclen percentiles."""
@@ -436,6 +502,8 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_hourly": q_events_hourly,
+    "flipr_topterms": q_flipr_topterms,
+    "answer_em": q_answer_em,
     "doclen_quantiles": q_doclen_quantiles,
     "eval_metrics": q_eval_metrics,
     "docs2passages": q_docs2passages,
@@ -708,6 +776,54 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
   FROM orders WHERE o_custkey < 50
 ) WHERE rn <= 3
+"""
+
+ORACLE["flipr_topterms"] = f"""
+WITH {_SQL_CORPUS_CTES},
+termscores AS (
+  SELECT qt.qid, tf.pid,
+         ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl)) AS sc
+  FROM qt
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+),
+top3 AS (
+  SELECT qid, pid, round(sum(sc), 6) AS score FROM (
+    SELECT qid, pid, sc,
+           row_number() OVER (PARTITION BY qid, pid ORDER BY sc DESC) AS r
+    FROM termscores
+  ) WHERE r <= 3 GROUP BY qid, pid
+)
+SELECT qid, pid, rank, score FROM (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS rank
+  FROM top3
+) WHERE rank <= 10
+"""
+
+_SQL_ANSWERS = ", ".join(
+    f"(CAST({q} AS BIGINT), '{a}')" for q, a in ANSWER_SET
+)
+
+ORACLE["answer_em"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+top5 AS (SELECT qid, pid FROM ranked WHERE rank <= 5),
+answers(qid, answer) AS (VALUES {_SQL_ANSWERS}),
+hit AS (
+  SELECT t.qid,
+         max(CASE WHEN contains(lower(d.text), lower(a.answer))
+                  THEN 1.0 ELSE 0.0 END) AS hit
+  FROM top5 t
+  JOIN answers a ON t.qid = a.qid
+  JOIN documents d ON t.pid = d.doc_id
+  GROUP BY t.qid
+)
+SELECT round(avg(coalesce(hit.hit, 0.0)), 6) AS success_em5
+FROM answers LEFT JOIN hit ON answers.qid = hit.qid
 """
 
 ORACLE["doclen_quantiles"] = f"""
