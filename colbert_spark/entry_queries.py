@@ -324,6 +324,18 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_query_subsample(spark, sf_dir):
+    """Dev subsample (T7, utility/rankings/dev_subsample.py:11-29): a
+    deterministic ~25% query sample. rand(seed) differs across engines, so
+    the sample predicate is md5-prefix-based — same split everywhere."""
+    ranking = q_bm25_top10(spark, sf_dir)
+    return ranking.filter(
+        F.substring(F.md5(F.col("qid").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+
+
 def q_flipr_topterms(spark, sf_dir):
     """flipr-style interaction (A2, colbert/modeling/colbert.py:139-152):
     per (query, doc) sum only the TOP-3 term scores (not all), then rank.
@@ -502,6 +514,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_hourly": q_events_hourly,
+    "query_subsample": q_query_subsample,
     "flipr_topterms": q_flipr_topterms,
     "answer_em": q_answer_em,
     "doclen_quantiles": q_doclen_quantiles,
@@ -776,6 +789,13 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
   FROM orders WHERE o_custkey < 50
 ) WHERE rn <= 3
+"""
+
+ORACLE["query_subsample"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
+SELECT qid, pid, rank, score FROM ranked
+WHERE rank <= 10
+  AND substring(md5(CAST(qid AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
 """
 
 ORACLE["flipr_topterms"] = f"""

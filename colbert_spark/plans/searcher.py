@@ -77,17 +77,26 @@ class Searcher:
         return qt.join(self.term_dict.select("term", "term_id", "idf"), "term") \
                  .select("qid", "term_id", "idf")
 
+    # beyond this many distinct query terms, an IN-list stops being a sane
+    # pushdown predicate; switch to a broadcast semi-join (bucket pruning
+    # still applies — bucket count is bounded by index_partitions)
+    _ISIN_LIMIT = 1000
+
     def _candidate_blocks(self, qterms: DataFrame) -> DataFrame:
         """Postings scan pruned to the query terms' buckets + term ids."""
         tids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
         if not tids:
             return None
         buckets = sorted({t % self.config.index_partitions for t in tids})
-        return (
-            self.catalog.read(self.spark, "postings")
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term_id").isin(tids))
+        scan = self.catalog.read(self.spark, "postings").filter(
+            F.col("bucket").isin(buckets)
         )
+        if len(tids) <= self._ISIN_LIMIT:
+            return scan.filter(F.col("term_id").isin(tids))
+        wanted = self.spark.createDataFrame(
+            [(int(t),) for t in tids], "term_id long"
+        )
+        return scan.join(F.broadcast(wanted), "term_id", "left_semi")
 
     # -- public API ---------------------------------------------------------
     def search_all(

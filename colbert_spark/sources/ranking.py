@@ -55,3 +55,20 @@ class Ranking:
             F.col("_c3").cast("double").alias("score"),
         )
         return cls(df)
+
+
+def split_by_queries(ranking: DataFrame, qid_sets: dict[str, list[int]],
+                     out_dir: str) -> dict[str, str]:
+    """Partition a ranking by query-set membership (U5,
+    utility/rankings/split_by_queries.py:13-46): one TSV-style parquet dir
+    per named set; qids in no set land in '_rest'. Membership is a
+    broadcast join, the write is partitioned — no driver loop over rows."""
+    spark = ranking.sparkSession
+    rows = [(name, int(q)) for name, qs in qid_sets.items() for q in qs]
+    member = spark.createDataFrame(rows, "split string, qid long")
+    tagged = ranking.join(F.broadcast(member), "qid", "left").fillna(
+        {"split": "_rest"}
+    )
+    tagged.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    names = set(qid_sets) | {"_rest"}
+    return {n: f"{out_dir}/split={n}" for n in names}

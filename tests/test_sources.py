@@ -113,3 +113,18 @@ def test_unicode_and_degenerate_docs(spark, tmp_path):
     # the ascii-token rule splits on non-alnum: 'h' 'llo' 'w' 'rld'...
     pids2, _, _ = s.search("llo", k=5)
     assert pids2 == [0]
+
+
+def test_split_by_queries(spark, tmp_path):
+    from colbert_spark.sources.ranking import split_by_queries
+
+    ranking = spark.createDataFrame(
+        [(q, 10 + q, 1, 5.0) for q in range(6)],
+        "qid long, pid long, rank int, score double",
+    )
+    paths = split_by_queries(
+        ranking, {"dev": [0, 1], "test": [2, 3]}, str(tmp_path / "splits")
+    )
+    dev = {r["qid"] for r in spark.read.parquet(paths["dev"]).collect()}
+    rest = {r["qid"] for r in spark.read.parquet(paths["_rest"]).collect()}
+    assert dev == {0, 1} and rest == {4, 5}
