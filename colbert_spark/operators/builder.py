@@ -91,6 +91,7 @@ def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
         for i, start in enumerate(range(0, n, block_size)):
             sl = slice(start, min(start + block_size, n))
             bp, bt, bd = pids[sl], tfs[sl], dls[sl]
+            ep, et, ed = encode_pids(bp), encode_tfs(bt), encode_tfs(bd)
             rows.append(
                 (
                     term_id,
@@ -99,9 +100,12 @@ def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
                     int(bp[-1]),
                     int(bp.size),
                     float(scores[sl].max()),
-                    encode_pids(bp),
-                    encode_tfs(bt),
-                    encode_tfs(bd),
+                    ep,
+                    et,
+                    ed,
+                    # stored so lineage/manifest aggregation never has to
+                    # re-read the binary columns (column-pruned scan)
+                    len(ep) + len(et) + len(ed),
                 )
             )
         return pd.DataFrame(
@@ -109,6 +113,7 @@ def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
             columns=[
                 "term_id", "block_id", "first_pid", "last_pid",
                 "num_postings", "max_block_score", "pids", "tfs", "dls",
+                "enc_bytes",
             ],
         )
 
@@ -204,7 +209,8 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
         if p.size == 0:
             return pd.DataFrame(
                 columns=["term_id", "block_id", "first_pid", "last_pid",
-                         "num_postings", "max_block_score", "pids", "tfs", "dls"]
+                         "num_postings", "max_block_score", "pids", "tfs",
+                         "dls", "enc_bytes"]
             )
         flat = pd.DataFrame(
             {

@@ -152,11 +152,7 @@ class Indexer:
             .agg(
                 F.count(F.lit(1)).alias("num_blocks"),
                 F.sum("num_postings").alias("num_postings"),
-                F.sum(
-                    F.octet_length("pids")
-                    + F.octet_length("tfs")
-                    + F.octet_length("dls")
-                ).alias("bytes_written"),
+                F.sum("enc_bytes").alias("bytes_written"),
                 F.bit_xor(
                     F.xxhash64("term_id", "block_id", "first_pid", "num_postings")
                 ).alias("fp"),

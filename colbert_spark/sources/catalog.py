@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 POSTINGS_SCHEMA = (
     "term_id long, block_id long, first_pid long, last_pid long, "
     "num_postings int, max_block_score double, pids binary, tfs binary, "
-    "dls binary"
+    "dls binary, enc_bytes int"
 )
 
 
