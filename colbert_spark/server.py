@@ -1,0 +1,61 @@
+"""Serving-layer helpers — the reference's server.py analog (no HTTP).
+
+Parity with /root/reference/server.py:16-44: an lru_cache'd query function
+returning top-k with softmax probabilities, results ordered by
+(-score, pid) (:27-34). The HTTP framing (Flask) is deliberately not
+reproduced — any serving framework can wrap `api_search`.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+from colbert_spark.plans.searcher import Searcher
+
+
+def make_api(searcher: Searcher, cache_size: int = 1_000_000):
+    """Build a memoized query function (reference lru_cache(2**20), :19)."""
+
+    @lru_cache(maxsize=cache_size)
+    def api_search(query: str, k: int = 10) -> tuple[dict, ...]:
+        pids, ranks, scores = searcher.search(query, k=k)
+        if not pids:
+            return ()
+        denom = sum(math.exp(s) for s in scores)
+        probs = [math.exp(s) / denom for s in scores]
+        return tuple(
+            {"pid": p, "rank": r, "score": s, "prob": pr}
+            for p, r, s, pr in zip(pids, ranks, scores, probs)
+        )
+
+    return api_search
+
+
+def hop_search(searcher: Searcher, query: str, k: int = 10,
+               hops: int = 2, expand_terms: int = 5,
+               get_doc_text=None) -> tuple[list, list, list]:
+    """Multi-hop retrieval (Baleen HopSearcher analog,
+    baleen/hop_searcher.py:11-40): each hop conditions the next query on
+    retrieved context. Lexical conditioning = append the top doc's most
+    frequent terms to the query (the reference appends encoder context,
+    :80-89 of query_tokenization.py).
+
+    get_doc_text(pid) -> str supplies passage text (J5 point lookup);
+    required for hops > 1.
+    """
+    pids, ranks, scores = searcher.search(query, k=k)
+    context = query
+    for _ in range(hops - 1):
+        if not pids or get_doc_text is None:
+            break
+        from collections import Counter
+
+        from colbert_spark.functions.analysis import python_tokenize
+
+        top_text = get_doc_text(pids[0])
+        common = [t for t, _ in Counter(python_tokenize(top_text)).most_common(
+            expand_terms)]
+        context = context + " " + " ".join(common)
+        pids, ranks, scores = searcher.search(context, k=k)
+    return pids, ranks, scores

@@ -71,6 +71,19 @@ def load_collection_tsv(spark, path: str) -> DataFrame:
     return out
 
 
+def load_collection_jsonl(spark, path: str) -> DataFrame:
+    """JSONL collection (S2 — declared but unimplemented in the reference,
+    colbert/data/collection.py:38-39): lines with {pid?, text/passage}."""
+    df = spark.read.json(path)
+    text_col = "text" if "text" in df.columns else "passage"
+    if "pid" in df.columns:
+        return df.select(F.col("pid").cast("long").alias("pid"),
+                         F.col(text_col).alias("text"))
+    return assign_pids(df.select(F.col(text_col).alias("text"))
+                       .withColumn("url", F.md5("text")), "url") \
+        .select("pid", "text")
+
+
 def save_collection_tsv(docs: DataFrame, path: str) -> None:
     """Write pid \\t text (colbert/data/collection.py:47-57)."""
     docs.select("pid", "text").orderBy("pid").coalesce(1).write.mode(
