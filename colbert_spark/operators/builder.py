@@ -15,11 +15,12 @@ index :346-376 / finalize :378-497):
   finalize → global sort-by-(bucket, term_id) write + manifest + metadata.
 
 Skew (north_rule; SURVEY.md §4.4): a head term ("the"/t00000) may hit >50%
-of docs — a single groupBy(term) group would be one straggler task. Terms
-whose df exceeds config.salt_df_threshold are built under composite key
-(term_id, salt = pmod(hash(pid), S)): S parallel sub-builds, each emitting
-pid-sorted blocks. Blocks are self-contained (pids+tfs+doclens inline), so
-no post-merge is required — the union of the S salted runs IS the posting
+of docs — a single groupBy(term) group would be one straggler task. Every
+term builds under composite key (term_id, salt = pmod(xxhash64(pid), S_t))
+with S_t = ceil(df_t / max_group_postings): the salt count is
+df-PROPORTIONAL, so group size (and kernel memory) is bounded by a constant
+at any corpus size. Blocks are self-contained (pids+tfs+doclens inline), so
+no post-merge is required — the union of the S_t salted runs IS the posting
 list, and query-time decode treats blocks independently.
 
 term_id = xxhash64(term): deterministic, shuffle-free id assignment.
@@ -128,21 +129,24 @@ def build_postings(
 ) -> DataFrame:
     """token_df (pid, term, doclen, tf) → posting-block DataFrame.
 
-    Salting: high-df terms get salt = pmod(xxhash64(pid), S); others salt 0.
-    The groupBy key (term_id, salt) keeps every group ≤ df/S postings, so no
-    straggler task at any skew. Returns blocks WITH a `bucket` column for
-    partition-pruned storage.
+    Skew: each term builds under salt = pmod(xxhash64(pid), n_salts) with
+    n_salts = ceil(df / max_group_postings) — df-PROPORTIONAL, so group
+    size is bounded by a constant regardless of corpus size (a head term
+    hitting 60% of 10^12 docs simply gets ~600k parallel sub-groups; a
+    fixed salt count would leave 10^10-posting stragglers). Blocks are
+    self-contained, so salted runs never merge. Returns blocks WITH a
+    `bucket` column for partition-pruned storage.
     """
-    heavy = term_dict.select(
+    dict_slice = term_dict.select(
         "term", "term_id", "idf",
-        (F.col("df") > config.salt_df_threshold).alias("heavy"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("df") / F.lit(config.max_group_postings)),
+        ).cast("long").alias("n_salts"),
     )
-    enriched = token_df.join(F.broadcast(heavy), "term").select(
+    enriched = token_df.join(F.broadcast(dict_slice), "term").select(
         "term_id", "pid", "tf", "doclen", "idf",
-        F.when(
-            F.col("heavy"),
-            F.pmod(F.xxhash64("pid"), F.lit(config.salt_buckets)),
-        ).otherwise(F.lit(0)).cast("long").alias("salt"),
+        F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),
     )
     kernel = _make_block_builder(config.block_size, avgdl, config.k1, config.b)
     blocks = enriched.repartition(

@@ -26,8 +26,12 @@ class ColBERTConfig:
     # index layout
     block_size: int = 128          # postings per block (bounds UDF memory)
     index_partitions: int = 32     # hash(term_id) partitions for segments
-    salt_df_threshold: int = 100_000  # terms with df above this build salted
-    salt_buckets: int = 16
+    # skew control: a term with df > max_group_postings is built as
+    # ceil(df / max_group_postings) parallel salted sub-groups, so group
+    # size — and therefore task memory and stragglers — is bounded by this
+    # constant at ANY corpus size (a 10^12-doc head term just gets more
+    # salts). ~24 bytes/posting ⇒ default ≈ 25 MB per kernel invocation.
+    max_group_postings: int = 1 << 20
     # paths
     index_root: str = "/tmp/colbert_spark_indexes"
     index_name: str = "default"

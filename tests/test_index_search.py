@@ -24,8 +24,7 @@ def cfg(tmp_path_factory):
         index_root=str(tmp_path_factory.mktemp("indexes")),
         block_size=32,            # small blocks → exercise multi-block paths
         index_partitions=8,
-        salt_df_threshold=100,    # head term (df≈200) gets salted
-        salt_buckets=4,
+        max_group_postings=50,   # head term (df≈200) gets 4+ salts
         shuffle_partitions=8,
     )
 

@@ -25,7 +25,7 @@ N_QUERIES = 200
 def setup(spark, tmp_path_factory):
     cfg = ColBERTConfig(
         index_root=str(tmp_path_factory.mktemp("idx")),
-        index_partitions=16, salt_df_threshold=500, salt_buckets=8,
+        index_partitions=16, max_group_postings=200,
         shuffle_partitions=16,
     )
     docs_pdf = gen_docs_pdf(np.arange(N_DOCS))

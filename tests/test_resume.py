@@ -25,8 +25,7 @@ def env(spark, tmp_path_factory):
         index_root=str(tmp_path_factory.mktemp("indexes")),
         block_size=32,
         index_partitions=8,
-        salt_df_threshold=100,
-        salt_buckets=4,
+        max_group_postings=50,
         shuffle_partitions=8,
     )
     docs_pdf = gen_docs_pdf(np.arange(200))
