@@ -99,14 +99,25 @@ class Searcher:
         return scan.join(F.broadcast(wanted), "term_id", "left_semi")
 
     # -- public API ---------------------------------------------------------
+    #: auto mode switches to scatter beyond these (query count, head-term df)
+    _AUTO_SCATTER_QUERIES = 64
+    _AUTO_SCATTER_DF = 1_000_000
+
     def search_all(
         self,
         queries: DataFrame | dict[int, str],
         k: int = 10,
-        mode: str = "gather",
+        mode: str = "auto",
         qid_to_pids: DataFrame | None = None,
     ) -> Ranking:
-        """Batch retrieval → Ranking. mode ∈ {gather, scatter} (wand.py).
+        """Batch retrieval → Ranking. mode ∈ {auto, gather, scatter}.
+
+        gather ships each query's candidate blocks to one group (block-max
+        skipping, lowest latency) — but a head term's ENTIRE posting list
+        lands in every matching query's group, so at scale a hot term ×
+        many queries is a shuffle amplifier. auto therefore picks scatter
+        (decode-once, no per-query block duplication) for large batches or
+        when any query term's df is huge; gather otherwise.
 
         qid_to_pids: optional (qid, pid) allow-list DataFrame (F3 semantics:
         restrict each query's search space before ranking).
@@ -116,6 +127,17 @@ class Searcher:
                 list(queries.items()), "qid long, text string"
             )
         qterms = self._query_terms(queries).persist()
+        if mode == "auto":
+            stats = qterms.join(
+                self.term_dict.select("term_id", "df"), "term_id"
+            ).agg(
+                F.countDistinct("qid").alias("nq"), F.max("df").alias("maxdf")
+            ).collect()[0]
+            big = (
+                (stats["nq"] or 0) > self._AUTO_SCATTER_QUERIES
+                or (stats["maxdf"] or 0) > self._AUTO_SCATTER_DF
+            )
+            mode = "scatter" if big else "gather"
         blocks = self._candidate_blocks(qterms)
         if blocks is None:
             empty = self.spark.createDataFrame([], wand.RANKING_SCHEMA)

@@ -109,3 +109,19 @@ def test_empty_query_and_oov(spark, built):
     _, _, _, _, searcher = built
     pids, ranks, scores = searcher.search("zzabsent qqmissing", k=5)
     assert pids == [] and ranks == [] and scores == []
+
+
+def test_auto_mode_selects_and_matches(spark, built):
+    _, queries, _, _, searcher = built
+    auto = _todict(searcher.search_all(queries, k=10, mode="auto").df.collect())
+    gather = _todict(searcher.search_all(queries, k=10, mode="gather").df.collect())
+    assert auto == gather
+    # huge batch heuristic: many queries → scatter (results identical anyway)
+    searcher2 = searcher
+    old = searcher2._AUTO_SCATTER_QUERIES
+    try:
+        searcher2._AUTO_SCATTER_QUERIES = 1
+        forced = _todict(searcher2.search_all(queries, k=10, mode="auto").df.collect())
+        assert forced == gather
+    finally:
+        searcher2._AUTO_SCATTER_QUERIES = old
