@@ -76,6 +76,25 @@ def main() -> None:
     timed("tpch_q1",
           lambda: entry_queries.q_tpch_q1_pricing(spark, sf_dir).collect())
 
+    # real-throughput probe: the sf corpus is small enough that fixed job
+    # latency dominates index_build; a 100k-doc synthetic build shows the
+    # work-bound rate (the number comparable to BASELINE.md's 28 docs/sec)
+    from colbert_spark.sources.datagen import generate_documents
+
+    big_path = "/tmp/colbert_bench_corpus_100k"
+    if not os.path.exists(big_path + "/_SUCCESS"):
+        generate_documents(spark, 100_000, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(big_path)
+    big = spark.read.parquet(big_path).select(
+        F.pmod(F.xxhash64("url"), F.lit(1 << 62)).alias("pid"), "text"
+    )
+    cfg_big = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
+                            index_name="bench100k", shuffle_partitions=cpus)
+    timed("index_build_100k",
+          lambda: Indexer(cfg_big).index("bench100k", big,
+                                         overwrite="force_silent_overwrite"))
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total",
@@ -86,6 +105,7 @@ def main() -> None:
         "cpus": cpus,
         "num_docs": n_docs,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "index_docs_per_sec_100k": round(100_000 / timings["index_build_100k"], 1),
     }))
     spark.stop()
 
