@@ -75,8 +75,16 @@ class Indexer:
         # scheduling latency regardless of cluster size, which is exactly
         # what erodes N→4N scaling efficiency. Stats are folded into as few
         # actions as possible.
-        token_df = builder.tokenize(collection, cfg).persist()
-        doc_stats_df = builder.doc_stats(token_df).persist()
+        token_df = builder.tokenize(collection, cfg)
+        if cfg.cache_tokens:
+            token_df = token_df.persist()
+        # doc stats straight from the source (map-only), not via token_df —
+        # no shuffle, and it doesn't force an early token materialization
+        from colbert_spark.functions.analysis import doclen as _doclen
+
+        doc_stats_df = collection.select(
+            F.col("pid"), _doclen("text", cfg.doc_maxlen).alias("doclen")
+        ).persist()
         row = doc_stats_df.agg(
             F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
         ).collect()[0]
@@ -187,7 +195,8 @@ class Indexer:
                 "wall_ms": wall_ms,
             },
         )
-        token_df.unpersist()
+        if cfg.cache_tokens:
+            token_df.unpersist()
         doc_stats_df.unpersist()
         term_dict.unpersist()
         return str(cat.root)
