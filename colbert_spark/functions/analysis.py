@@ -85,6 +85,64 @@ def tokenize_docs(
     )
 
 
+def tokenize_docs_arrow(
+    docs: DataFrame,
+    id_col: str = "pid",
+    text_col: str = "text",
+    maxlen: int | None = None,
+) -> DataFrame:
+    """Shuffle-free (id, term, tf, doclen) via Arrow mapInPandas.
+
+    Same output as tokenize_docs, different physical plan: a doc's tokens
+    are row-local, so per-doc tf needs NO exchange — the kernel tokenizes a
+    batch (Python regex ≡ the JVM/DuckDB rule, golden-tested) and counts
+    (doc, term) pairs with one numpy unique. This removes the token-level
+    shuffle entirely; the index build's only remaining corpus-sized
+    exchange is the repartition-by-(term, salt) that builds postings.
+    Preferred for builds; the relational tokenize_docs stays for plans that
+    must be pure Catalyst expressions.
+    """
+    import re
+
+    from collections.abc import Iterator as _It
+
+    pattern = re.compile(TOKEN_SPLIT_RE)
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            toks_per_doc = [
+                [t for t in pattern.split(s.lower()) if t][:maxlen]
+                if isinstance(s, str) else []
+                for s in pdf[text_col]
+            ]
+            import numpy as np
+
+            doclens = np.fromiter((len(t) for t in toks_per_doc),
+                                  dtype=np.int64, count=len(toks_per_doc))
+            if doclens.sum() == 0:
+                continue
+            doc_idx = np.repeat(np.arange(len(toks_per_doc)), doclens)
+            flat = np.array(
+                [t for toks in toks_per_doc for t in toks], dtype=object
+            )
+            key = pd.MultiIndex.from_arrays([doc_idx, flat])
+            counts = pd.Series(1, index=key).groupby(level=[0, 1]).sum()
+            out_doc = counts.index.get_level_values(0).to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: ids[out_doc],
+                    "doclen": doclens[out_doc],
+                    "term": counts.index.get_level_values(1).to_numpy(),
+                    "tf": counts.to_numpy().astype("int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, doclen int, term string, tf long"
+    )
+
+
 def python_tokenize(text: str, maxlen: int | None = None) -> list[str]:
     """Pure-Python mirror of tokens(); used by test oracles only."""
     import re

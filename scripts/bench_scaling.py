@@ -57,8 +57,12 @@ print(json.dumps({{"cpus": cpus, "n_docs": n_docs, "sec": round(dt, 2),
 
 def run_once(cpus: int, n_docs: int) -> dict:
     code = RUN_TEMPLATE.format(repo=str(REPO), cpus=cpus, n_docs=n_docs)
+    import os
+
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="32g")
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600, env=env,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:

@@ -65,3 +65,19 @@ def test_extraction_byte_identical_per_url_across_parallelism(spark):
     # and the generator's html wraps text losslessly
     expected = dict(zip(pdf["url"], pdf["text"]))
     assert results[2] == expected
+
+
+def test_arrow_tokenize_equals_relational(spark):
+    from colbert_spark.functions.analysis import tokenize_docs, tokenize_docs_arrow
+
+    pdf = gen_docs_pdf(np.arange(80))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pdf["text"])] + [(999, ""), (998, "...")],
+        "pid long, text string",
+    )
+    a = sorted(map(tuple, tokenize_docs(docs, maxlen=220).collect()))
+    b = sorted(map(tuple,
+                   tokenize_docs_arrow(docs, maxlen=220)
+                   .select("pid", "term", "doclen", "tf").collect()))
+    assert len(a) == len(b)
+    assert set(a) == set(b)
