@@ -97,6 +97,10 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(result))
+    (REPO / "BENCH_scaling_last.json").write_text(json.dumps(result, indent=2))
+    if "--write-bench-md" not in sys.argv:
+        print("wrote BENCH_scaling_last.json (BENCH.md is hand-maintained)")
+        return
 
     md = f"""# BENCH — measured engine performance
 
