@@ -459,6 +459,18 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_events_sessionized(spark, sf_dir):
+    """Gap-based sessionization (custom stateful-operator semantics; batch
+    form via window functions — the streaming twin lives in
+    streaming/sessionize.py and is pytest-checked for parity)."""
+    from colbert_spark.streaming.sessionize import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "n_events", "sum_value"
+    )
+
+
 def q_search_lang_filtered(spark, sf_dir):
     """pid allow-list semantics (F3): BM25 top-10 restricted to lang='en'."""
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text", "lang")
@@ -521,6 +533,7 @@ QUERIES = {
     "eval_metrics": q_eval_metrics,
     "docs2passages": q_docs2passages,
     "events_windowed": q_events_windowed,
+    "events_sessionized": q_events_sessionized,
     "search_lang_filtered": q_search_lang_filtered,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -911,6 +924,26 @@ ORACLE["events_windowed"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+ORACLE["events_sessionized"] = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, session_id
 """
 
 ORACLE["search_lang_filtered"] = f"""

@@ -75,3 +75,39 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     exp = {(r["window_start"], r["event_type"]): r["n"]
            for r in windowed_event_counts(ev, window="1 hour").collect()}
     assert got == exp
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): closed sessions
+    emitted by the stream must equal the batch window-function sessions,
+    except possibly the last (still-open) session per user."""
+    from colbert_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_batch(ev).collect()
+    }
+    src = tmp_path / "sess_src"
+    ev.orderBy("ts").coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    # stream emits only CLOSED sessions; every emitted one must match batch
+    assert got, "stream must close at least some sessions"
+    for key, val in got.items():
+        assert batch[key] == val, f"session {key}: stream={val} batch={batch[key]}"
+    # and the stream must have closed all but the open tail sessions
+    open_tails = {u for (u, s) in batch} # one possibly-open session per user
+    assert len(got) >= len(batch) - len(open_tails)
