@@ -505,6 +505,14 @@ def q_ann_lsh_top5(spark, sf_dir):
     return similarity.cosine_topk_lsh(emb, queries, k=5, n_planes=8)
 
 
+def q_ann_ivf_top5(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk_ivf(emb, queries, k=5, n_clusters=16, n_probe=6)
+
+
 QUERIES = {
     "bm25_top10": q_bm25_top10,
     "term_stats": q_term_stats,
@@ -538,6 +546,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh_top5": q_ann_lsh_top5,
+    "ann_ivf_top5": q_ann_ivf_top5,
 }
 
 

@@ -159,3 +159,75 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", F.col("rank").cast("long").alias("rank"), "sim")
     )
+
+
+def cosine_topk_ivf(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer → probe n_probe nearest
+    centroids → exact cosine within probed cells.
+
+    This is the direct analog of the reference's IVF candidate generation
+    (colbert/search/candidate_generation.py:45-64: centroid sims → top
+    ncells → gather cell members), rebuilt on pyspark.ml KMeans + a
+    broadcast centroid table. n_probe/n_clusters are the recall/cost knobs
+    (reference ncells, searcher.py:108-127).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_items = items.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("features", array_to_vector("v"))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(ml_items)
+    assigned = model.transform(ml_items).select(
+        "vec_id", "v", F.col("prediction").alias("cell")
+    ).withColumn("nv", _norm(F.col("v")))
+
+    centroids = model.clusterCenters()
+    spark = items.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cv array<double>",
+    )
+
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<double>").alias("qv"),
+    ).withColumn("nq", _norm(F.col("qv")))
+    # rank centroids per query, keep n_probe nearest (by cosine)
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        "qid", "qv", "nq", "cell",
+        (_dot(F.col("qv"), F.col("cv"))
+         / (F.col("nq") * _norm(F.col("cv")))).alias("csim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cell"))
+    probes = qc.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= n_probe
+    ).select("qid", "qv", "nq", "cell")
+
+    scored = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid", "vec_id",
+        F.round(
+            _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")),
+            SIM_DECIMALS,
+        ).alias("sim"),
+    ).dropDuplicates(["qid", "vec_id"])
+    w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.col("rank").cast("long").alias("rank"), "sim")
+    )

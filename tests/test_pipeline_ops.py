@@ -125,3 +125,22 @@ def test_metrics_hand_built(spark):
     assert metrics.success_at_k(ranking, qrels, 1).first()["success"] == pytest.approx(
         1.0 / 3, abs=1e-6
     )
+
+
+def test_ivf_ann_recall_vs_brute(spark):
+    from colbert_spark.operators.similarity import cosine_topk_brute, cosine_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    brute_sets, ivf_sets = {}, {}
+    for r in cosine_topk_brute(emb, queries, k=5).collect():
+        brute_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in cosine_topk_ivf(emb, queries, k=5, n_clusters=16, n_probe=6).collect():
+        ivf_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(brute_sets[q] & ivf_sets.get(q, set())) / len(brute_sets[q])
+        for q in brute_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
