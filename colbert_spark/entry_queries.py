@@ -153,7 +153,8 @@ def q_term_topk_tf(spark, sf_dir):
     )
     return (
         token_df.filter(F.col("term") == "scan")
-        .select(F.col("doc_id").alias("pid"), "tf", "doclen")
+        .select(F.col("doc_id").alias("pid"), "tf",
+                F.col("doclen").cast("long").alias("doclen"))
         .orderBy(F.desc("tf"), F.asc("pid"))
         .limit(20)
     )

@@ -33,8 +33,8 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
     stop_count = F.size(F.filter("_t", lambda x: F.array_contains(_stop_array(), x)))
     feat = t.select(
         id_col,
-        F.size("_t").alias("n_tokens"),
-        F.length(F.array_join("_t", " ")).alias("n_chars_norm"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.length(F.array_join("_t", " ")).cast("long").alias("n_chars_norm"),
         F.round(
             F.when(F.size("_t") > 0,
                    F.aggregate("_t", F.lit(0), lambda a, x: a + F.length(x))
@@ -53,7 +53,7 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
             (F.col("n_tokens") >= 5)
             & (F.col("n_tokens") <= 500)
             & (F.col("stopword_ratio") < 0.5)
-        ).cast("int"),
+        ).cast("int"),  # oracle: CAST(... AS INTEGER)
     )
 
 
