@@ -29,6 +29,24 @@ if _REPO not in _pp.split(":"):
 from colbert_spark import entry_queries
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Guarantee Python workers can import colbert_spark even when the
+    driver's session was built without our env (addPyFile reaches workers
+    of an already-running session)."""
+    import zipfile
+
+    zip_path = "/tmp/colbert_spark_pkg.zip"
+    if not Path(zip_path).exists():
+        src = Path(_REPO) / "colbert_spark"
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for p in src.rglob("*.py"):
+                zf.write(p, p.relative_to(src.parent))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: index sf0.001 documents, search the fixed query set."""
     import pyspark.sql.functions as F
@@ -37,6 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from colbert_spark.plans.indexer import Indexer
     from colbert_spark.plans.searcher import Searcher
 
+    _ship_package(spark)
     sf_dir = "/root/testdata/sf0.001"
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -51,7 +70,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(entry_queries.QUERIES)
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        return run
+
+    return {name: wrap(fn) for name, fn in entry_queries.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
