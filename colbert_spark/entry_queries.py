@@ -130,11 +130,16 @@ def q_term_stats(spark, sf_dir):
 
 
 def q_corpus_stats(spark, sf_dir):
-    """Global index statistics (S9 analog): N, avgdl, vocab, postings."""
+    """Global index statistics (S9 analog): N, avgdl, vocab, postings.
+
+    Per-doc stats come straight from documents (analysis.doclen), not from
+    the exploded token table — a doc that tokenizes to zero tokens still
+    counts toward N/avgdl (matches the oracle's dl CTE and the Indexer)."""
+    docs = _docs(spark, sf_dir)
     token_df = analysis.tokenize_docs(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text", maxlen=220
+        docs, id_col="doc_id", text_col="text", maxlen=220
     )
-    per_doc = token_df.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
+    per_doc = docs.select(analysis.doclen("text", 220).alias("doclen"))
     a = per_doc.agg(
         F.count(F.lit(1)).alias("num_docs"),
         F.round(F.avg("doclen"), 6).alias("avg_doclen"),
@@ -406,15 +411,14 @@ def q_answer_em(spark, sf_dir):
 def q_doclen_quantiles(spark, sf_dir):
     """Distribution calibration (A6 analog — residual bucket quantiles,
     collection_indexer.py:314-339): exact doclen percentiles."""
-    token_df = analysis.tokenize_docs(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text", maxlen=220
+    per_doc = _docs(spark, sf_dir).select(
+        analysis.doclen("text", 220).alias("doclen")
     )
-    per_doc = token_df.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
     return per_doc.agg(
         F.round(F.expr("percentile(doclen, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(doclen, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(doclen, 0.99)"), 6).alias("p99"),
-        F.max("doclen").alias("max_doclen"),
+        F.max("doclen").cast("long").alias("max_doclen"),
     )
 
 
@@ -564,7 +568,8 @@ SELECT qid, pid, rank, score FROM ranked WHERE rank <= 10
 
 ORACLE["term_stats"] = f"""
 WITH {_SQL_CORPUS_CTES}
-SELECT term, df, cf FROM dfreq ORDER BY df DESC, term ASC LIMIT 50
+SELECT term, df, CAST(cf AS BIGINT) AS cf
+FROM dfreq ORDER BY df DESC, term ASC LIMIT 50
 """
 
 ORACLE["corpus_stats"] = f"""
@@ -652,9 +657,10 @@ WITH h AS (
   FROM documents
 ),
 g AS (SELECT h, count(*) AS cnt FROM h GROUP BY h)
-SELECT sum(cnt) AS num_docs,
+SELECT CAST(sum(cnt) AS BIGINT) AS num_docs,
        count(*) AS num_distinct_texts,
-       sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS num_dup_docs
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+         AS num_dup_docs
 FROM g
 """
 
@@ -747,7 +753,7 @@ WITH t AS (
              x -> x <> '')) AS n
   FROM documents
 )
-SELECT source, count(*) AS n_docs, sum(n) AS total_tokens,
+SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
        round(avg(n), 6) AS avg_tokens
 FROM t GROUP BY source
 """
@@ -938,17 +944,18 @@ FROM events GROUP BY 1, 2
 
 ORACLE["events_sessionized"] = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_s
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, min(ts) AS session_start,

@@ -230,26 +230,65 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_blocking_plan(max_hamming: int) -> tuple[int, int]:
+    """(num_bands k, bands_per_key c) such that blocking on every C(k, c)
+    concatenation of c bands guarantees recall for Hamming ≤ k − c
+    (pigeonhole: d flipped bits corrupt ≤ d bands, leaving ≥ k − d clean;
+    k − d ≥ c ⇒ some c-combination is clean on both docs).
+
+    Policy: single-band keys while bands stay ≥ 8 bits wide (cheap, selective);
+    beyond that, 2-band keys — C(d+2, 2) keys/doc buys selective ~10-bit
+    buckets instead of degenerate ≤ 5-bit single bands. Manku et al. WWW'07
+    block-permutation scheme, combination form.
+    """
+    if not 0 <= max_hamming <= 32:
+        raise ValueError(f"max_hamming {max_hamming} outside supported [0, 32]")
+    if max_hamming <= 7:
+        return max_hamming + 1, 1
+    return max_hamming + 2, 2
+
+
+def _band_bounds(total_bits: int, k: int) -> list[tuple[int, int]]:
+    """k (offset, width) spans covering total_bits; first bands get the
+    extra bit when it doesn't divide evenly."""
+    widths = [total_bits // k + (1 if i < total_bits % k else 0) for i in range(k)]
+    out, off = [], 0
+    for w in widths:
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
-    4×16-bit band blocking (a pair within distance 3 shares ≥1 exact band)."""
-    sigs = simhash64(docs, id_col, text_col)
+                       id_col: str = "doc_id", text_col: str = "text",
+                       sigs: DataFrame | None = None) -> DataFrame:
+    """Near-dup pairs (a < b, hamming ≤ max_hamming) by SimHash, with
+    GUARANTEED recall at the requested radius: blocking keys are xxhash64
+    over c-band combinations chosen by simhash_blocking_plan, so every
+    qualifying pair shares ≥ 1 key; bucket false positives are removed by
+    the exact bit_count filter. One equi-join on an 8-byte key — no
+    all-pairs stage at any corpus size."""
+    import itertools
+
+    k, c = simhash_blocking_plan(max_hamming)
+    if sigs is None:
+        sigs = simhash64(docs, id_col, text_col)
+    band_exprs = [
+        f"(shiftright(simhash, {off}) & {(1 << w) - 1})"
+        for off, w in _band_bounds(64, k)
+    ]
+    keys = [
+        f"xxhash64({kid}, {', '.join(band_exprs[i] for i in combo)})"
+        for kid, combo in enumerate(itertools.combinations(range(k), c))
+    ]
     banded = sigs.select(
         id_col, "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), "
-                "b -> struct(b as band, shiftright(simhash, b*16) & 65535 as bh))"
-            )
-        ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bh")
-    a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
-                      "band", "bh")
-    b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"),
-                      "band", "bh")
+        F.explode(F.expr(f"array({', '.join(keys)})")).alias("bh"),
+    )
+    a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "bh")
+    b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "bh")
     cands = (
-        a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
+        a.join(b, "bh").filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
     )
     return cands.select(

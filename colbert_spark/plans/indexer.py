@@ -115,16 +115,13 @@ class Indexer:
         # ---- resume: which buckets still need building? -------------------
         all_buckets = set(range(cfg.index_partitions))
         done: set[int] = set()
-        if overwrite == "resume":
-            try:
-                done = {
-                    r["bucket"]
-                    for r in cat.read(spark, "manifest")
-                    .filter(F.col("status") == "ok")
-                    .collect()
-                }
-            except Exception:
-                done = set()
+        if overwrite == "resume" and cat.table_exists("manifest"):
+            done = {
+                r["bucket"]
+                for r in cat.read(spark, "manifest")
+                .filter(F.col("status") == "ok")
+                .collect()
+            }
         todo = sorted(all_buckets - done)
 
         # ---- index: salted posting-block build ---------------------------

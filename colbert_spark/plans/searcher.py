@@ -58,12 +58,12 @@ class Searcher:
         """Removed pids (IndexUpdater.remove analog) — excluded at decode."""
         import numpy as np
 
-        try:
-            rows = self.catalog.read(self.spark, "tombstones").collect()
-            self.tombstones = np.sort(np.array([r["pid"] for r in rows],
-                                               dtype=np.int64))
-        except Exception:
+        if not self.catalog.table_exists("tombstones"):
             self.tombstones = None
+            return
+        rows = self.catalog.read(self.spark, "tombstones").collect()
+        self.tombstones = np.sort(np.array([r["pid"] for r in rows],
+                                           dtype=np.int64))
 
     # -- query encoding (lexical analog of Searcher.encode) ----------------
     def _query_terms(self, queries: DataFrame) -> DataFrame:

@@ -61,6 +61,11 @@ class IndexCatalog:
     def plan_exists(self) -> bool:
         return self.plan_path.exists()
 
+    def table_exists(self, table: str) -> bool:
+        """Cheap existence probe so optional tables (tombstones, manifest)
+        don't go through a logged-and-caught AnalysisException."""
+        return (self.root / table).exists()
+
     # --- tables ----------------------------------------------------------
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table))

@@ -30,18 +30,28 @@ SESSION_SCHEMA = (
 
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN,
-                     user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     tiebreak_col: str | None = "event_id") -> DataFrame:
     """(user_id, session_id, session_start, n_events, sum_value): gap-based
     sessions. session_id is the 0-based session index per user (ordered by
-    time) — deterministic and engine-neutral."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    time) — deterministic and engine-neutral.
+
+    Ties: duplicate (user, ts) pairs make lag()'s order nondeterministic, so
+    the window orders by (ts, tiebreak_col) when a tiebreak column exists —
+    any oracle must order identically. The running sum is pinned to a ROWS
+    frame (Spark's orderBy default is RANGE, which would lump tied rows)."""
+    order = [ts_col]
+    if tiebreak_col is not None and tiebreak_col in events.columns:
+        order.append(tiebreak_col)
+    w = Window.partitionBy(user_col).orderBy(*order)
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sec = F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000.0
     gap = sec - F.lag(sec).over(w)
     flagged = events.withColumn(
         "_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     )
     numbered = flagged.withColumn(
-        "session_id", F.sum("_new").over(w) - 1
+        "session_id", F.sum("_new").over(wrows) - 1
     )
     return (
         numbered.groupBy(user_col, "session_id")
@@ -75,7 +85,9 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN,
                          "n_events", "sum_value"],
             )
             return
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        rows = pd.concat(list(pdfs))
+        sort_cols = [ts_col] + (["event_id"] if "event_id" in rows else [])
+        rows = rows.sort_values(sort_cols, kind="mergesort")
         if state.exists:
             last_ts, sid, start, n, sv = state.get
             last_ts = pd.Timestamp(last_ts)

@@ -37,6 +37,39 @@ def normalize(rows, cols):
     return sorted(map(repr, out)), [cols[i] for i in order]
 
 
+_SPARK_CANON = {
+    # pyarrow str(type) names on the right
+    "bigint": "int64", "int": "int32", "smallint": "int16", "tinyint": "int8",
+    "double": "double", "float": "float", "string": "string",
+    "boolean": "bool", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "date": "date32[day]", "binary": "binary",
+}
+
+
+def spark_types(sdf):
+    return {c: _SPARK_CANON.get(t, t) for c, t in sdf.dtypes}
+
+
+def duck_types(arrow_tbl):
+    """Canonical per-column types from a DuckDB Arrow result. HUGEINT comes
+    back as decimal128(38,0) — exactly the mismatch the driver's typed hash
+    catches and a value-level compare can't."""
+    import pyarrow as pa
+
+    out = {}
+    for f in arrow_tbl.schema:
+        t = f.type
+        if pa.types.is_timestamp(t):
+            out[f.name] = "timestamp"
+        elif pa.types.is_large_string(t) or pa.types.is_string(t):
+            out[f.name] = "string"
+        elif pa.types.is_large_binary(t) or pa.types.is_binary(t):
+            out[f.name] = "binary"
+        else:
+            out[f.name] = str(t)
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -66,11 +99,19 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            atbl = res.arrow()
+            ocols = atbl.column_names
+            orows = [tuple(r.values()) for r in atbl.to_pylist()]
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name}: oracle error {str(e)[:200]}")
+            continue
+        st, ot = spark_types(sdf), duck_types(atbl)
+        tdiff = {c: (st.get(c), ot.get(c))
+                 for c in set(st) | set(ot) if st.get(c) != ot.get(c)}
+        if tdiff:
+            failures.append((name, f"types: {tdiff}"))
+            print(f"FAIL  {name}: type mismatch (spark, oracle): {tdiff}")
             continue
         sn, sc = normalize([tuple(r) for r in srows], scols)
         on, oc = normalize(orows, ocols)
