@@ -490,16 +490,22 @@ def q_search_lang_filtered(spark, sf_dir):
     )
 
 
-# ---- rows-only ops (no SQL-expressible oracle: xxhash64-based) -------------
-
 def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH candidates with the portable md5-based shingle hash so
+    the DuckDB oracle replays the exact signature pipeline (the xxhash64
+    default stays the scale path; signatures are pytest-equivalence-checked
+    between the two hashes' band structure)."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
-    return dedup.minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.3)
+    return dedup.minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.3,
+                                   portable_hash=True)
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 10 — banding recall is
+    guaranteed at this radius (simhash_blocking_plan), so the banded result
+    equals the oracle's brute all-pairs scan exactly."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
-    return dedup.simhash_near_pairs(docs, max_hamming=10)
+    return dedup.simhash_near_pairs(docs, max_hamming=10, portable_hash=True)
 
 
 def q_ann_lsh_top5(spark, sf_dir):
@@ -511,11 +517,15 @@ def q_ann_lsh_top5(spark, sf_dir):
 
 
 def q_ann_ivf_top5(spark, sf_dir):
+    """IVF funnel with the deterministic first_k quantizer so the DuckDB
+    oracle replays assignment → probe → score → rank end-to-end; the
+    KMeans-trained quantizer's recall is pytest-checked against brute."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return similarity.cosine_topk_ivf(emb, queries, k=5, n_clusters=16, n_probe=6)
+    return similarity.cosine_topk_ivf(emb, queries, k=5, n_clusters=16,
+                                      n_probe=6, quantizer="first_k")
 
 
 QUERIES = {
@@ -981,4 +991,204 @@ SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour, count(*) AS n,
        round(sum(value), 2) AS sum_value
 FROM events
 GROUP BY event_type, hour(ts)
+"""
+
+# Exact replay of cosine_topk_ivf(quantizer="first_k", n_clusters=16,
+# n_probe=6, k=5): centroids = 16 lowest-id vectors, assignment = argmax
+# cosine (tie → lowest cell), probes = 6 nearest centroids per query.
+ORACLE["ann_ivf_top5"] = """
+WITH it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM it WHERE vec_id < 16),
+asn AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT it.vec_id, it.v, cent.cell,
+           row_number() OVER (
+             PARTITION BY it.vec_id
+             ORDER BY list_dot_product(it.v, cent.cv)
+                      / (sqrt(list_dot_product(it.v, it.v))
+                         * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.cell ASC) AS r
+    FROM it CROSS JOIN cent
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM it WHERE vec_id < 10),
+probes AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, cent.cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, cent.cv)
+                      / (sqrt(list_dot_product(q.qv, q.qv))
+                         * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.cell ASC) AS r
+    FROM q CROSS JOIN cent
+  ) WHERE r <= 6
+),
+scored AS (
+  SELECT p.qid, a.vec_id,
+         round(list_dot_product(a.v, p.qv)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(p.qv, p.qv))), 6) AS sim
+  FROM asn a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid
+)
+SELECT qid, vec_id, rank, sim FROM (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+def _lsh_plane_values(dim: int = 64, n_planes: int = 8,
+                      n_tables: int = 6) -> str:
+    """The exact hyperplanes cosine_topk_lsh uses (same Philox seeds),
+    as DuckDB VALUES rows — repr() of a float64 round-trips, so both
+    engines evaluate sign(dot) against bit-identical planes."""
+    from colbert_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + 97 * t)
+        for j in range(n_planes):
+            vals = ", ".join(repr(float(x)) for x in planes[j])
+            rows.append(f"({t}, {j}, [{vals}]::DOUBLE[])")
+    return ", ".join(rows)
+
+
+# Exact replay of cosine_topk_lsh(k=5, n_planes=8, n_tables=6,
+# probe_flips=1): same hyperplanes, same bucket = sign-bits + (t << 8),
+# same single-bit multi-probe, exact cosine on bucket-colliding candidates.
+ORACLE["ann_lsh_top5"] = """
+WITH it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(t, j, p) AS (VALUES {PLANES}),
+ib AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+                       THEN (1 << j) ELSE 0 END) + (t << 8) AS BIGINT)
+           AS bucket
+  FROM it CROSS JOIN planes GROUP BY vec_id, t
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM it WHERE vec_id < 10),
+qb AS (
+  SELECT qid, t,
+         CAST(sum(CASE WHEN list_dot_product(qv, p) > 0
+                       THEN (1 << j) ELSE 0 END) + (t << 8) AS BIGINT)
+           AS bucket
+  FROM q CROSS JOIN planes GROUP BY qid, t
+),
+probes AS (
+  SELECT qid, bucket FROM qb
+  UNION ALL
+  SELECT qid, xor(bucket, CAST(1 << j AS BIGINT)) AS bucket
+  FROM qb, unnest(range(0, 8)) AS r(j)
+),
+cand AS (
+  SELECT DISTINCT p.qid, ib.vec_id
+  FROM probes p JOIN ib ON p.bucket = ib.bucket
+  WHERE ib.vec_id <> p.qid
+),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         round(list_dot_product(iv.v, q.qv)
+               / (sqrt(list_dot_product(iv.v, iv.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+  FROM cand c JOIN it iv ON iv.vec_id = c.vec_id JOIN q ON q.qid = c.qid
+)
+SELECT qid, vec_id, rank, sim FROM (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""".replace("{PLANES}", _lsh_plane_values())
+
+# Portable 60-bit hash — must stay in lockstep with dedup.md5_hash64.
+_SQL_H64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_perm_values() -> str:
+    from colbert_spark.operators.dedup import minhash_perm_constants
+
+    return ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_perm_constants(64))
+
+
+# Exact replay of minhash_lsh_pairs(num_perm=64, bands=16, threshold=0.3,
+# portable_hash=True): same shingles, same md5-based hash, same perm
+# constants, same band blocking (slice equality == Spark's band-hash join),
+# same est_jaccard (= fraction of equal signature positions).
+ORACLE["dedup_minhash"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents WHERE doc_id < 300
+),
+sh AS (
+  SELECT DISTINCT doc_id, terms[i] || ' ' || terms[i+1] AS shingle
+  FROM t, unnest(range(1, len(terms))) AS u(i)
+  WHERE len(terms) >= 2
+),
+h AS (
+  SELECT doc_id, {_SQL_H64.format(x='shingle')} % 2147483647 AS h FROM sh
+),
+perm(perm, a, b) AS (VALUES {{PERMS}}),
+mins AS (
+  SELECT doc_id, perm, min((a * h + b) % 2147483647) AS mh
+  FROM h CROSS JOIN perm GROUP BY doc_id, perm
+),
+bandkey AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY perm) AS key
+  FROM mins GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandkey x JOIN bandkey y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.a, c.b,
+         round(sum(CASE WHEN mx.mh = my.mh THEN 1 ELSE 0 END) / 64.0, 6)
+           AS est_jaccard
+  FROM cand c
+  JOIN mins mx ON mx.doc_id = c.a
+  JOIN mins my ON my.doc_id = c.b AND my.perm = mx.perm
+  GROUP BY c.a, c.b
+)
+SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.3
+""".replace("{PERMS}", _minhash_perm_values())
+
+# Brute all-pairs ground truth at fixture scale; the Spark side's banded
+# plan must equal it exactly because simhash_blocking_plan guarantees
+# recall at radius 10 (the exact bit_count filter removes bucket FPs).
+ORACLE["dedup_simhash"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents WHERE doc_id < 300
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(terms) AS term FROM t)
+  GROUP BY doc_id, term
+),
+th AS (SELECT doc_id, {_SQL_H64.format(x='term')} AS h, tf FROM tf),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS vote
+  FROM th, unnest(range(0, 64)) AS r(b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
 """

@@ -26,6 +26,19 @@ from colbert_spark.functions import analysis
 _MINHASH_P = 2147483647
 
 
+def md5_hash64(col) -> "F.Column":
+    """Engine-portable 60-bit hash: first 15 hex chars of md5, base-16
+    parsed. Identical in Spark (conv) and DuckDB (('0x'||substr)::BIGINT)
+    — used by the oracle-checked dedup variants so a DuckDB oracle can
+    replay the exact hash pipeline. xxhash64 stays the scale-path default
+    (JVM-native, no hex round-trip)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(col, portable: bool):
+    return md5_hash64(col) if portable else F.xxhash64(col)
+
+
 def normalized_text(text_col: str = "text"):
     """Canonical form: tokens re-joined with single spaces."""
     return F.array_join(analysis.tokens(text_col), " ")
@@ -113,14 +126,21 @@ def ngram_jaccard_pairs(
     )
 
 
-def _perm_table(spark, num_perm: int) -> DataFrame:
-    """Deterministic MinHash permutation constants (LCG-derived, in [1, p))."""
+def minhash_perm_constants(num_perm: int) -> list[tuple[int, int, int]]:
+    """Deterministic MinHash permutation constants (LCG-derived, in [1, p)).
+    Pure so the DuckDB oracle can embed the identical table as VALUES."""
     rows = []
     for i in range(num_perm):
         a = (1103515245 * (i + 1) + 12345) % _MINHASH_P
         b = (69069 * (i + 1) + 1) % _MINHASH_P
         rows.append((i, max(a, 1), b))
-    return spark.createDataFrame(rows, "perm int, a long, b long")
+    return rows
+
+
+def _perm_table(spark, num_perm: int) -> DataFrame:
+    return spark.createDataFrame(
+        minhash_perm_constants(num_perm), "perm int, a long, b long"
+    )
 
 
 def minhash_signatures(
@@ -129,12 +149,14 @@ def minhash_signatures(
     shingle_n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures, fully JVM-side:
-    shingle → xxhash64 → broadcast perm table → groupBy min per perm →
+    shingle → hash → broadcast perm table → groupBy min per perm →
     pivot to array. min over ((a*h + b) mod p)."""
     sh = _doc_shingles(docs, id_col, text_col, shingle_n).select(
-        id_col, F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_P)).alias("h")
+        id_col,
+        F.pmod(_hash64("shingle", portable_hash), F.lit(_MINHASH_P)).alias("h"),
     )
     perms = F.broadcast(_perm_table(docs.sparkSession, num_perm))
     mins = (
@@ -161,6 +183,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates → (a, b, est_jaccard ≥ threshold).
 
@@ -168,10 +191,16 @@ def minhash_lsh_pairs(
     candidates (equi-join on (band, xxhash64(band slice))); est_jaccard =
     fraction of matching signature positions. The scale path: candidate
     generation is a pure hash equi-join, no quadratic shingle join.
+
+    portable_hash=True swaps the shingle hash for md5_hash64 so a DuckDB
+    oracle can reproduce signatures bit-for-bit (band keys stay xxhash64 —
+    they're internal join keys; the oracle blocks on band-slice equality,
+    which is the same relation).
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
+    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col,
+                              portable_hash=portable_hash)
     banded = sigs.select(
         id_col, "sig",
         F.explode(
@@ -201,17 +230,18 @@ def minhash_lsh_pairs(
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text", portable_hash: bool = False) -> DataFrame:
     """(id, simhash: long) 64-bit SimHash over tf-weighted term hashes.
 
-    Terms are hashed JVM-side (xxhash64); the per-doc bit-fold runs in an
-    Arrow applyInPandas kernel (numpy unpackbits — no per-row Python).
+    Terms are hashed JVM-side (xxhash64, or md5_hash64 when portable_hash —
+    see minhash docstring); the per-doc bit-fold runs in an Arrow
+    applyInPandas kernel (numpy unpackbits — no per-row Python).
     """
     term_h = (
         docs.select(F.col(id_col), F.explode(analysis.tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .select(id_col, F.xxhash64("term").alias("h"), "tf")
+        .select(id_col, _hash64("term", portable_hash).alias("h"), "tf")
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -261,7 +291,8 @@ def _band_bounds(total_bits: int, k: int) -> list[tuple[int, int]]:
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id", text_col: str = "text",
-                       sigs: DataFrame | None = None) -> DataFrame:
+                       sigs: DataFrame | None = None,
+                       portable_hash: bool = False) -> DataFrame:
     """Near-dup pairs (a < b, hamming ≤ max_hamming) by SimHash, with
     GUARANTEED recall at the requested radius: blocking keys are xxhash64
     over c-band combinations chosen by simhash_blocking_plan, so every
@@ -272,7 +303,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
 
     k, c = simhash_blocking_plan(max_hamming)
     if sigs is None:
-        sigs = simhash64(docs, id_col, text_col)
+        sigs = simhash64(docs, id_col, text_col, portable_hash=portable_hash)
     band_exprs = [
         f"(shiftright(simhash, {off}) & {(1 << w) - 1})"
         for off, w in _band_bounds(64, k)
@@ -293,5 +324,6 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     )
     return cands.select(
         "a", "b",
-        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        .alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)

@@ -172,34 +172,64 @@ def cosine_topk_ivf(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     seed: int = 42,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
-    """IVF-style ANN: k-means coarse quantizer → probe n_probe nearest
-    centroids → exact cosine within probed cells.
+    """IVF-style ANN: coarse quantizer → probe n_probe nearest centroids →
+    exact cosine within probed cells.
 
     This is the direct analog of the reference's IVF candidate generation
     (colbert/search/candidate_generation.py:45-64: centroid sims → top
     ncells → gather cell members), rebuilt on pyspark.ml KMeans + a
     broadcast centroid table. n_probe/n_clusters are the recall/cost knobs
     (reference ncells, searcher.py:108-127).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    ml_items = items.select(
+    quantizer: "kmeans" (trained, the quality path) or "first_k" — the
+    n_clusters lowest-id item vectors become the centroids and every item
+    is assigned to its max-cosine centroid (tie → lowest cell). first_k is
+    fully deterministic and replayable in ANSI SQL, so the driver's DuckDB
+    oracle can check the whole probe funnel end-to-end; recall of the
+    trained path is pytest-checked against brute instead.
+    """
+    spark = items.sparkSession
+    base = items.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("features", array_to_vector("v"))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(ml_items)
-    assigned = model.transform(ml_items).select(
-        "vec_id", "v", F.col("prediction").alias("cell")
-    ).withColumn("nv", _norm(F.col("v")))
-
-    centroids = model.clusterCenters()
-    spark = items.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, cv array<double>",
     )
+    if quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        ml_items = base.withColumn("features", array_to_vector("v"))
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(
+            ml_items
+        )
+        assigned = model.transform(ml_items).select(
+            "vec_id", "v", F.col("prediction").alias("cell")
+        ).withColumn("nv", _norm(F.col("v")))
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c])
+             for i, c in enumerate(model.clusterCenters())],
+            "cell int, cv array<double>",
+        )
+    elif quantizer == "first_k":
+        cent_rows = base.orderBy("vec_id").limit(n_clusters).collect()
+        cent_df = spark.createDataFrame(
+            [(int(r["vec_id"]), list(r["v"])) for r in cent_rows],
+            "cell int, cv array<double>",
+        )
+        ic = base.join(F.broadcast(cent_df)).select(
+            "vec_id", "v", "cell",
+            (_dot(F.col("v"), F.col("cv"))
+             / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("csim"),
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+        assigned = (
+            ic.withColumn("r", F.row_number().over(wa)).filter(F.col("r") == 1)
+            .select("vec_id", "v", "cell")
+            .withColumn("nv", _norm(F.col("v")))
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
 
     q = queries.select(
         F.col(qid_col).alias("qid"),

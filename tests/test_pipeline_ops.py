@@ -144,3 +144,87 @@ def test_ivf_ann_recall_vs_brute(spark):
         for q in brute_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_simhash_blocking_plan_guarantee():
+    """k − c ≥ max_hamming for every radius the API accepts (the pigeonhole
+    recall guarantee), and plan shape follows the documented policy."""
+    import itertools
+
+    for d in range(0, 33):
+        k, c = dedup.simhash_blocking_plan(d)
+        assert k - c >= d
+        assert 1 <= c <= k <= 64
+        # keys per doc stays bounded (C(k, c))
+        n_keys = len(list(itertools.combinations(range(k), c)))
+        assert n_keys <= 600
+    with pytest.raises(ValueError):
+        dedup.simhash_blocking_plan(33)
+
+
+def test_simhash_banded_equals_brute_at_radius_10(spark):
+    """Recall test the old 4×16 banding failed: banded pairs at hamming ≤ 10
+    must equal the brute all-pairs scan exactly (candidate false positives
+    are removed by the exact bit_count filter, so equality == 100% recall)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    sigs = dedup.simhash64(docs)
+    banded = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(docs, max_hamming=10,
+                                          sigs=sigs).collect()
+    }
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r["a"], r["b"], r["hamming"])
+        for r in a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                .cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 10)
+        .collect()
+    }
+    assert len(brute) > 0  # fixture actually exercises the radius
+    assert banded == brute
+
+
+def test_portable_hash_variants_consistent(spark, dup_docs):
+    """portable_hash=True (md5) and the xxhash64 default must agree on the
+    hash-independent structure: exact-dup simhashes collide, and MinHash
+    est_jaccard for an exact dup pair is 1.0 under both hashes."""
+    for portable in (False, True):
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in dedup.simhash64(dup_docs,
+                                         portable_hash=portable).collect()}
+        assert sigs[0] == sigs[1]
+        pairs = {(r["a"], r["b"]): r["est_jaccard"]
+                 for r in dedup.minhash_lsh_pairs(
+                     dup_docs, num_perm=64, bands=16, threshold=0.5,
+                     portable_hash=portable).collect()}
+        assert pairs[(0, 1)] == 1.0
+
+
+def test_ivf_first_k_quantizer_matches_probe_all(spark):
+    """first_k quantizer with n_probe == n_clusters degenerates to exact
+    brute top-k (every cell probed) — checks the funnel loses nothing."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    brute = sorted(
+        (r["qid"], r["vec_id"], r["rank"])
+        for r in similarity.cosine_topk_brute(emb, queries, k=5).collect()
+    )
+    ivf = sorted(
+        (r["qid"], r["vec_id"], r["rank"])
+        for r in similarity.cosine_topk_ivf(
+            emb, queries, k=5, n_clusters=8, n_probe=8, quantizer="first_k"
+        ).collect()
+    )
+    assert ivf == brute
