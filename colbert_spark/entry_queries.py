@@ -408,6 +408,21 @@ def q_answer_em(spark, sf_dir):
                   .agg(F.round(F.avg("hit"), 6).alias("success_em5"))
 
 
+def q_annotate_em_dpr(spark, sf_dir):
+    """Full annotate_EM harness (utility/evaluate/annotate_EM.py +
+    utility/utils/dpr.py): DPR-normalize passages and answers (NFD +
+    letter/digit/mark runs or single non-space chars, lowercased), label
+    the BM25 top-10 by token-subsequence containment, report
+    success@{1,5,10} and counts@{1,5,10} over the judged queries."""
+    from colbert_spark.functions import dpr
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    ranking = q_bm25_top10(spark, sf_dir).select("qid", "pid", "rank")
+    answers = spark.createDataFrame(ANSWER_SET, "qid long, answer string")
+    labeled = dpr.annotate_ranking(ranking, docs, answers)
+    return dpr.em_metrics(labeled, cutoffs=(1, 5, 10))
+
+
 def q_doclen_quantiles(spark, sf_dir):
     """Distribution calibration (A6 analog — residual bucket quantiles,
     collection_indexer.py:314-339): exact doclen percentiles."""
@@ -454,6 +469,16 @@ def q_docs2passages(spark, sf_dir):
     )
 
 
+def q_docs2passages_overlap(spark, sf_dir):
+    """Reference-exact splitter (S14 wraparound form,
+    utility/preprocess/docs2passages.py:32-34): 20-word passages, overlap 5,
+    last passage wraps into the doc's start so it's never short."""
+    from colbert_spark.sources.queries import docs2passages_wrap
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return docs2passages_wrap(docs, id_col="doc_id", nwords=20, overlap=5)
+
+
 def q_events_windowed(spark, sf_dir):
     """Tumbling-window rollup (streaming operator, batch mode)."""
     from colbert_spark.streaming.ingest import windowed_event_counts
@@ -477,17 +502,69 @@ def q_events_sessionized(spark, sf_dir):
 
 
 def q_search_lang_filtered(spark, sf_dir):
-    """pid allow-list semantics (F3): BM25 top-10 restricted to lang='en'."""
+    """pid allow-list semantics (F3): BM25 top-10 restricted to lang='en'.
+
+    Filter-first: the allow-list semi-joins onto scored (qid, pid) rows
+    BEFORE the rank window (bm25_topk's allowed_pids), so ranking work
+    scales with the allowed set — never a full-corpus row_number."""
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text", "lang")
-    ranking = brute.bm25_topk(docs.select("pid", "text"), _query_df(spark), k=10**9)
     allowed = docs.filter(F.col("lang") == "en").select("pid")
-    restricted = ranking.drop("rank").join(allowed, "pid", "left_semi")
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
-    return (
-        restricted.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("qid", "pid", "rank", "score")
+    ranking = brute.bm25_topk(docs.select("pid", "text"), _query_df(spark),
+                              k=10, allowed_pids=allowed)
+    return ranking.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
+                          "score")
+
+
+_SEARCHERS: dict[str, object] = {}
+
+
+def _indexed_searcher(spark, sf_dir):
+    """Build (once per process per sf_dir) a real index over documents and
+    return a Searcher — for entry queries that must exercise the INDEXED
+    path (postings scan → wand kernels), not the brute oracle path."""
+    if sf_dir in _SEARCHERS:
+        return _SEARCHERS[sf_dir]
+    import hashlib
+
+    from colbert_spark.plans.config import ColBERTConfig
+    from colbert_spark.plans.indexer import Indexer
+    from colbert_spark.plans.searcher import Searcher
+
+    name = "entryq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
+                        index_name=name)
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    Indexer(cfg).index(name, docs, overwrite=True)
+    _SEARCHERS[sf_dir] = Searcher(name, spark, cfg)
+    return _SEARCHERS[sf_dir]
+
+
+def q_rerank_topk(spark, sf_dir):
+    """Rerank-over-candidates (S7 consumer; reference topK loader
+    colbert/evaluation/loaders.py:59-152 feeding rerank-mode evaluation):
+    a cheap first stage (sum-of-tf top-20 per query — the qid→pid
+    candidate file's analog) restricts the REAL indexed Searcher via
+    search_all(qid_to_pids=...). The one driver query that oracle-checks
+    the postings-scan → wand path end-to-end."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    token_df = analysis.tokenize_docs(docs, id_col="pid", text_col="text",
+                                      maxlen=220)
+    qterms = brute.query_terms(_query_df(spark), 32)
+    tfsum = (
+        token_df.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "pid")
+        .agg(F.sum("tf").alias("tfs"))
     )
+    w = Window.partitionBy("qid").orderBy(F.desc("tfs"), F.asc("pid"))
+    cands = (
+        tfsum.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 20)
+        .select("qid", "pid")
+    )
+    searcher = _indexed_searcher(spark, sf_dir)
+    out = searcher.search_all(_query_df(spark), k=10, qid_to_pids=cands).df
+    return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
+                      "score")
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -552,12 +629,15 @@ QUERIES = {
     "query_subsample": q_query_subsample,
     "flipr_topterms": q_flipr_topterms,
     "answer_em": q_answer_em,
+    "annotate_em_dpr": q_annotate_em_dpr,
     "doclen_quantiles": q_doclen_quantiles,
     "eval_metrics": q_eval_metrics,
     "docs2passages": q_docs2passages,
+    "docs2passages_overlap": q_docs2passages_overlap,
     "events_windowed": q_events_windowed,
     "events_sessionized": q_events_sessionized,
     "search_lang_filtered": q_search_lang_filtered,
+    "rerank_topk": q_rerank_topk,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh_top5": q_ann_lsh_top5,
@@ -885,6 +965,46 @@ SELECT round(avg(coalesce(hit.hit, 0.0)), 6) AS success_em5
 FROM answers LEFT JOIN hit ON answers.qid = hit.qid
 """
 
+# DPR tokenization reduces to '[a-z0-9]+|[^ ]' on this fixture (lowercase
+# printable ASCII, space the only separator — verified); the Spark side
+# runs the full Unicode implementation, pytest-parity-checked separately.
+ORACLE["annotate_em_dpr"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+top10 AS (SELECT qid, pid, rank FROM ranked WHERE rank <= 10),
+ans(qid, answer) AS (VALUES {_SQL_ANSWERS}),
+anorm AS (
+  SELECT qid,
+         array_to_string(regexp_extract_all(answer, '[a-z0-9]+|[^ ]'), ' ')
+           AS a
+  FROM ans
+),
+pnorm AS (
+  SELECT doc_id AS pid,
+         array_to_string(regexp_extract_all(text, '[a-z0-9]+|[^ ]'), ' ')
+           AS p
+  FROM documents
+),
+lab AS (
+  SELECT t.qid, t.pid, t.rank,
+         max(CASE WHEN contains(' ' || pn.p || ' ', ' ' || an.a || ' ')
+                  THEN 1 ELSE 0 END) AS label
+  FROM top10 t
+  JOIN pnorm pn USING (pid)
+  JOIN anorm an ON an.qid = t.qid
+  GROUP BY t.qid, t.pid, t.rank
+),
+cut(cutoff) AS (VALUES (1), (5), (10)),
+perq AS (
+  SELECT c.cutoff, l.qid, max(l.label) AS any_hit, sum(l.label) AS n_hits
+  FROM cut c JOIN lab l ON l.rank <= c.cutoff
+  GROUP BY c.cutoff, l.qid
+)
+SELECT CAST(cutoff AS BIGINT) AS cutoff,
+       round(avg(any_hit), 6) AS success,
+       round(avg(n_hits), 6) AS counts
+FROM perq GROUP BY cutoff
+"""
+
 ORACLE["doclen_quantiles"] = f"""
 WITH {_SQL_CORPUS_CTES}
 SELECT round(quantile_cont(doclen, 0.5), 6) AS p50,
@@ -946,6 +1066,25 @@ FROM t, unnest(range(0, greatest(len(words), 1), 20)) AS u(i)
 WHERE array_to_string(list_slice(words, i + 1, i + 20), ' ') <> ''
 """
 
+# nwords=20, overlap=5 → stride 15; offsets range(0, n-5, 15); doubled
+# word list when n > 20 (wraparound, docs2passages.py:32-34).
+ORACLE["docs2passages_overlap"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents WHERE doc_id < 50
+),
+p AS (
+  SELECT doc_id, len(w) AS n,
+         CASE WHEN len(w) > 20 THEN list_concat(w, w) ELSE w END AS ww
+  FROM t
+)
+SELECT doc_id,
+       CAST(i // 15 AS BIGINT) AS passage_idx,
+       array_to_string(list_slice(ww, i + 1, i + 20), ' ') AS passage
+FROM p, unnest(range(0, greatest(n - 5, 0), 15)) AS u(i)
+"""
+
 ORACLE["events_windowed"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n, round(sum(value), 2) AS sum_value
@@ -991,6 +1130,31 @@ SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour, count(*) AS n,
        round(sum(value), 2) AS sum_value
 FROM events
 GROUP BY event_type, hour(ts)
+"""
+
+# Rerank over tf-top-20 candidates: BM25 scored pairs ∩ candidate set,
+# re-ranked within the allow-list (search_all(qid_to_pids=...) semantics).
+ORACLE["rerank_topk"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+tfsum AS (
+  SELECT qt.qid, tf.pid, sum(tf.tf) AS tfs
+  FROM qt JOIN tf USING (term) GROUP BY qt.qid, tf.pid
+),
+cand AS (
+  SELECT qid, pid FROM (
+    SELECT qid, pid,
+           row_number() OVER (PARTITION BY qid ORDER BY tfs DESC, pid) AS r
+    FROM tfsum
+  ) WHERE r <= 20
+),
+allowed AS (
+  SELECT s.qid, s.pid, s.score FROM scored s JOIN cand USING (qid, pid)
+)
+SELECT qid, pid, rank, score FROM (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS rank
+  FROM allowed
+) WHERE rank <= 10
 """
 
 # Exact replay of cosine_topk_ivf(quantizer="first_k", n_clusters=16,

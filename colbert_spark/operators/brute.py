@@ -72,14 +72,27 @@ def bm25_topk(
     text_col: str = "text",
     doc_maxlen: int | None = 220,
     query_maxlen: int | None = 32,
+    allowed_pids: DataFrame | None = None,
 ) -> DataFrame:
     """All-queries BM25 top-k → ranking(qid, pid, rank, score).
 
     Self-contained (tokenizes docs on the fly). For repeated querying use
     the Indexer/Searcher pair, which materializes the postings.
+
+    allowed_pids: optional (pid) allow-list, semi-joined onto the scored
+    rows BEFORE the rank window (filter-first — the ranking work scales
+    with the allowed set, not the corpus; same shape as
+    wand.topk_scatter's qid_to_pids handling).
+
+    The tokenized corpus is persisted: the stats action (N, avgdl) inside
+    this call materializes it, and the returned plan's scoring pass then
+    reads the cache instead of re-tokenizing the corpus (previously three
+    tokenize jobs per query). Caller may .unpersist() via the session if
+    memory matters; the indexed path (Indexer/Searcher) never caches raw
+    tokens at scale.
     """
     token_df = analysis.tokenize_docs(docs, id_col=id_col, text_col=text_col,
-                                      maxlen=doc_maxlen)
+                                      maxlen=doc_maxlen).persist()
     n, avgdl = corpus_stats(token_df)
     tstats = term_stats(token_df)
     qterms = query_terms(queries, query_maxlen)
@@ -92,8 +105,13 @@ def bm25_topk(
     scored = token_df.join(F.broadcast(qt), "term").select(
         "qid",
         F.col(id_col).alias("pid"),
-        bm25.term_score(F.col("tf"), F.col("doclen"), avgdl, F.col("idf")).alias("s"),
+        bm25.term_score(F.col("tf"), F.col("doclen"), avgdl,
+                        F.col("idf")).alias("s"),
     )
+    if allowed_pids is not None:
+        scored = scored.join(
+            F.broadcast(allowed_pids.select("pid")), "pid", "left_semi"
+        )
     agg = scored.groupBy("qid", "pid").agg(
         F.round(F.sum("s"), bm25.SCORE_DECIMALS).alias("score")
     )

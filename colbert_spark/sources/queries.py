@@ -63,10 +63,51 @@ def load_topk_tsv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def docs2passages_wrap(docs: DataFrame, id_col: str = "pid",
+                       text_col: str = "text", nwords: int = 180,
+                       overlap: int = 0) -> DataFrame:
+    """Document → passage splitter with reference-exact semantics
+    (utility/preprocess/docs2passages.py:26-34): whitespace words, stride
+    nwords − overlap, and WRAPAROUND — when the doc is longer than nwords
+    the word list is doubled so the last passage borrows its tail from the
+    doc's start and is never short. Every passage has exactly nwords words
+    (or len(words) when the doc is shorter than nwords).
+
+    Output: (doc_id, passage_idx, passage) — one JVM-side pass, no UDF.
+    """
+    if not 0 <= overlap < nwords:
+        raise ValueError(f"need 0 <= overlap < nwords, got {overlap}/{nwords}")
+    stride = nwords - overlap
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(w)
+    doubled = F.when(n > nwords, F.concat(w, w)).otherwise(w)
+    # range(0, len(words) - overlap, stride): empty when n <= overlap
+    starts = F.when(
+        n - overlap >= 1,
+        F.sequence(F.lit(0), n - F.lit(overlap) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            doubled.alias("_w"),
+            F.posexplode(starts).alias("passage_idx", "_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("passage_idx").cast("long").alias("passage_idx"),
+            F.array_join(
+                F.slice("_w", F.col("_start") + 1, nwords), " "
+            ).alias("passage"),
+        )
+    )
+
+
 def docs2passages(docs: DataFrame, id_col: str = "pid", text_col: str = "text",
                   max_words: int = 180, overlap: bool = False) -> DataFrame:
     """Document → passage splitter (S14, utility/preprocess/docs2passages.py:
     19-53): fixed word windows; with overlap=True, stride max_words/2.
+    Plain windows (the last passage may be short) — for the reference's
+    wraparound semantics use docs2passages_wrap.
 
     Output: (doc_id, passage_idx, passage). posexplode keeps it one
     JVM-side pass — no UDF.

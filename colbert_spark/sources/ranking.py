@@ -72,3 +72,21 @@ def split_by_queries(ranking: DataFrame, qid_sets: dict[str, list[int]],
     tagged.write.mode("overwrite").partitionBy("split").parquet(out_dir)
     names = set(qid_sets) | {"_rest"}
     return {n: f"{out_dir}/split={n}" for n in names}
+
+
+def split_by_offset(ranking: DataFrame, gap: int,
+                    names: tuple[str, ...] = ("train", "dev", "test")
+                    ) -> dict[str, DataFrame]:
+    """Recover per-split rankings from a merged query set (U5,
+    utility/rankings/split_by_offset.py:11-30): split i owns qids in
+    [gap·(i+1), gap·(i+2)), and its original qid is qid mod gap. One
+    filter + column rewrite per split — no shuffle, the scan prunes on the
+    qid range."""
+    out = {}
+    for i, name in enumerate(names):
+        lo = gap * (i + 1)
+        out[name] = (
+            ranking.filter((F.col("qid") >= lo) & (F.col("qid") < lo + gap))
+            .withColumn("qid", (F.col("qid") - lo).cast("long"))
+        )
+    return out

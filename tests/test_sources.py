@@ -128,3 +128,91 @@ def test_split_by_queries(spark, tmp_path):
     dev = {r["qid"] for r in spark.read.parquet(paths["dev"]).collect()}
     rest = {r["qid"] for r in spark.read.parquet(paths["_rest"]).collect()}
     assert dev == {0, 1} and rest == {4, 5}
+
+
+def test_docs2passages_wrap_reference_parity(spark):
+    """Reference semantics (utility/preprocess/docs2passages.py:26-34):
+    every passage has exactly nwords words (wraparound) or len(words) when
+    the doc is short; offsets step by nwords − overlap up to
+    len(words) − overlap. Checked against an independent Python replica of
+    the published algorithm."""
+    from colbert_spark.sources.queries import docs2passages_wrap
+
+    def py_ref(words, nwords, overlap):
+        doubled = words + words if len(words) > nwords else words
+        return [
+            " ".join(doubled[off:off + nwords])
+            for off in range(0, len(words) - overlap, nwords - overlap)
+        ]
+
+    texts = [
+        " ".join(f"w{i}" for i in range(n))
+        for n in (0, 1, 4, 5, 6, 19, 20, 21, 33, 50)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "pid long, text string"
+    )
+    for nwords, overlap in ((5, 0), (5, 2), (20, 5)):
+        got = {}
+        rows = docs2passages_wrap(docs, nwords=nwords, overlap=overlap).collect()
+        for r in rows:
+            got.setdefault(r["doc_id"], {})[r["passage_idx"]] = r["passage"]
+        for pid, text in enumerate(texts):
+            expected = py_ref(text.split(), nwords, overlap)
+            got_list = [got.get(pid, {}).get(i) for i in range(len(expected))]
+            assert got_list == expected, (pid, nwords, overlap)
+            assert len(got.get(pid, {})) == len(expected)
+
+
+def test_split_by_offset(spark):
+    from colbert_spark.sources.ranking import split_by_offset
+
+    gap = 1000
+    rows = [(gap * s + q, q * 7, r) for s in (1, 2, 3)
+            for q in (0, 5, 42) for r in (1, 2)]
+    ranking = spark.createDataFrame(rows, "qid long, pid long, rank long")
+    splits = split_by_offset(ranking, gap, names=("train", "dev", "test"))
+    assert set(splits) == {"train", "dev", "test"}
+    for i, name in enumerate(("train", "dev", "test")):
+        out = {(r["qid"], r["pid"], r["rank"]) for r in splits[name].collect()}
+        assert out == {(q, q * 7, r) for q in (0, 5, 42) for r in (1, 2)}, name
+
+
+def test_dpr_normalize_reference_semantics(spark):
+    """DPR_normalize parity on the published spec (utility/utils/dpr.py:
+    144-145, 218-223): NFD first, maximal L/N/M runs, single non-Z/C
+    chars, lowercased; has_answer = token-subsequence containment."""
+    from colbert_spark.functions import dpr
+
+    assert dpr.dpr_tokens("Ethics, by ARISTOTLE!") == [
+        "ethics", ",", "by", "aristotle", "!"]
+    # NFD keeps combining marks inside the token (M ∈ ALPHA_NUM)
+    import unicodedata
+    assert dpr.dpr_tokens("Café") == [unicodedata.normalize("NFD", "café")]
+    # apostrophes split (not in L/N/M)
+    assert dpr.dpr_tokens("don't") == ["don", "'", "t"]
+    # separators/controls vanish
+    assert dpr.dpr_tokens("a\tb c\nd") == ["a", "b", "c", "d"]
+    assert dpr.dpr_tokens("") == []
+
+    # end-to-end: annotate + metrics on a hand-built ranking
+    collection = spark.createDataFrame(
+        [(0, "the Quick brown fox"), (1, "nothing here"),
+         (2, "quick  brown dogs")],
+        "pid long, text string",
+    )
+    ranking = spark.createDataFrame(
+        [(7, 0, 1), (7, 1, 2), (7, 2, 3)], "qid long, pid long, rank long"
+    )
+    answers = spark.createDataFrame(
+        [(7, "QUICK Brown")], "qid long, answer string"
+    )
+    labeled = {(r["pid"]): r["label"]
+               for r in dpr.annotate_ranking(ranking, collection,
+                                             answers).collect()}
+    assert labeled == {0: 1, 1: 0, 2: 1}
+    m = {r["cutoff"]: (r["success"], r["counts"])
+         for r in dpr.em_metrics(
+             dpr.annotate_ranking(ranking, collection, answers),
+             cutoffs=(1, 2, 3)).collect()}
+    assert m == {1: (1.0, 1.0), 2: (1.0, 1.0), 3: (1.0, 2.0)}
