@@ -57,19 +57,33 @@ def tokenize(docs: DataFrame, config: ColBERTConfig,
                                         maxlen=config.doc_maxlen)
 
 
-def build_term_dict(token_df: DataFrame, num_docs: int) -> DataFrame:
-    """(term, term_id, df, cf, idf). idf is frozen into the dictionary so
-    query time never recomputes corpus math."""
+def term_agg(token_df: DataFrame) -> DataFrame:
+    """(term, df, cf) — the shuffle stage of the term dictionary, split out
+    so the Indexer can persist THIS (idf-free) form and fold its stats
+    collect into the same driver action as the corpus stats (idf needs
+    num_docs, which that action produces)."""
     return token_df.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("cf"),
-    ).select(
+    )
+
+
+def term_dict_from_agg(agg: DataFrame, num_docs: int) -> DataFrame:
+    """Finish the dictionary: deterministic term_id + frozen idf (cheap
+    projection — no extra shuffle over a persisted term_agg)."""
+    return agg.select(
         "term",
         F.xxhash64("term").alias("term_id"),
         "df",
         "cf",
         bm25.idf(F.col("df"), num_docs).alias("idf"),
     )
+
+
+def build_term_dict(token_df: DataFrame, num_docs: int) -> DataFrame:
+    """(term, term_id, df, cf, idf). idf is frozen into the dictionary so
+    query time never recomputes corpus math."""
+    return term_dict_from_agg(term_agg(token_df), num_docs)
 
 
 def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):

@@ -88,6 +88,52 @@ def lsh_signature_col(vec_col, planes: np.ndarray):
     return sig.cast("long")
 
 
+#: past this many plane-literal terms (dim × planes × tables), the codegen
+#: expression tree for sign(dot) stops being sane — switch to one Arrow
+#: matmul pass (V @ P.T) per partition
+_LSH_EXPR_LIMIT = 4096
+
+
+def _lsh_buckets_pandas(df: DataFrame, id_name: str, vec_name: str,
+                        tables: list[np.ndarray], n_planes: int,
+                        flip_bits: bool) -> DataFrame:
+    """(id, vec, bucket) with one row per (row, table[, probe]) — bucket
+    signatures via a single numpy matmul per Arrow batch instead of
+    dim × planes × tables literal expressions. flip_bits adds the
+    single-bit multi-probe buckets (query side)."""
+    import pandas as pd
+
+    planes = np.vstack(tables)  # (T*J, dim)
+    n_tab = len(tables)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    offsets = (np.arange(n_tab, dtype=np.int64) << n_planes)
+    schema = f"{id_name} long, {vec_name} array<double>, bucket long"
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.asarray(pdf[vec_name].tolist(), dtype=np.float64)
+            signs = (vecs @ planes.T) > 0  # (n, T*J)
+            buckets = (
+                signs.reshape(len(pdf), n_tab, n_planes).astype(np.int64)
+                @ weights + offsets
+            )  # (n, T)
+            if flip_bits:
+                flipped = buckets[:, :, None] ^ weights[None, None, :]
+                buckets = np.concatenate(
+                    [buckets[:, :, None], flipped], axis=2
+                ).reshape(len(pdf), -1)
+            n_rep = buckets.shape[1]
+            yield pd.DataFrame({
+                id_name: np.repeat(pdf[id_name].to_numpy(), n_rep),
+                vec_name: np.repeat(pdf[vec_name].to_numpy(), n_rep),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return df.mapInPandas(gen, schema=schema)
+
+
 def cosine_topk_lsh(
     items: DataFrame,
     queries: DataFrame,
@@ -100,6 +146,7 @@ def cosine_topk_lsh(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     dim: int | None = None,
+    signature_impl: str = "auto",
 ) -> DataFrame:
     """ANN cosine top-k via multi-table random-hyperplane LSH.
 
@@ -113,36 +160,53 @@ def cosine_topk_lsh(
     1-bit probes) target ~0.7+ recall@5 even when true neighbors sit at
     ~70° (the hard, near-orthogonal regime); raise J / lower L for tighter
     clusters to cut candidate fan-in.
+
+    signature_impl: "expr" (literal plane columns, whole-stage codegen —
+    right for small dim, and the oracle-replayable form), "pandas" (one
+    Arrow matmul per batch — right when dim × planes × tables would blow
+    up codegen, e.g. real 128-1536-dim embeddings), or "auto".
     """
     if dim is None:
         dim = len(items.select(vec_col).first()[0])
     tables = [_hyperplanes(dim, n_planes, seed=42 + 97 * t)
               for t in range(n_tables)]
+    if signature_impl == "auto":
+        signature_impl = (
+            "pandas" if dim * n_planes * n_tables > _LSH_EXPR_LIMIT else "expr"
+        )
 
     it = items.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    it = it.withColumn(
-        "bucket",
-        F.explode(F.array(*[
-            lsh_signature_col("v", tables[t]) + F.lit(t << n_planes)
-            for t in range(n_tables)
-        ])),
-    ).withColumn("nv", _norm(F.col("v")))
-
     q = queries.select(
         F.col(qid_col).alias("qid"),
         F.col(qvec_col).cast("array<double>").alias("qv"),
-    ).withColumn("nq", _norm(F.col("qv")))
-    probes = []
-    for t in range(n_tables):
-        sig = lsh_signature_col("qv", tables[t]) + F.lit(t << n_planes)
-        probes.append(sig)
-        if probe_flips >= 1:
-            for j in range(n_planes):
-                probes.append(sig.bitwiseXOR(F.lit(1 << j)))
-    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    )
+    if signature_impl == "pandas":
+        it = _lsh_buckets_pandas(it, "vec_id", "v", tables, n_planes,
+                                 flip_bits=False).withColumn(
+            "nv", _norm(F.col("v")))
+        q = _lsh_buckets_pandas(q, "qid", "qv", tables, n_planes,
+                                flip_bits=probe_flips >= 1).withColumn(
+            "nq", _norm(F.col("qv")))
+    else:
+        it = it.withColumn(
+            "bucket",
+            F.explode(F.array(*[
+                lsh_signature_col("v", tables[t]) + F.lit(t << n_planes)
+                for t in range(n_tables)
+            ])),
+        ).withColumn("nv", _norm(F.col("v")))
+        q = q.withColumn("nq", _norm(F.col("qv")))
+        probes = []
+        for t in range(n_tables):
+            sig = lsh_signature_col("qv", tables[t]) + F.lit(t << n_planes)
+            probes.append(sig)
+            if probe_flips >= 1:
+                for j in range(n_planes):
+                    probes.append(sig.bitwiseXOR(F.lit(1 << j)))
+        q = q.withColumn("bucket", F.explode(F.array(*probes)))
 
     scored = it.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("qid")

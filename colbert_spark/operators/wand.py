@@ -105,13 +105,10 @@ def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float,
             new_s.append(scores)
         allp = np.concatenate(new_p)
         alls = np.concatenate(new_s)
-        if not essential:
-            # only pre-existing accumulators may appear; merge duplicates
-            acc_pids, inv = np.unique(allp, return_inverse=True)
-            acc_scores = np.bincount(inv, weights=alls)
-        else:
-            acc_pids, inv = np.unique(allp, return_inverse=True)
-            acc_scores = np.bincount(inv, weights=alls)
+        # merge duplicate pids (in update-only rounds only pre-existing
+        # accumulators can appear; the merge handles both cases)
+        acc_pids, inv = np.unique(allp, return_inverse=True)
+        acc_scores = np.bincount(inv, weights=alls)
 
     if acc_pids.size == 0:
         return acc_pids, acc_scores

@@ -37,6 +37,11 @@ MANIFEST_SCHEMA = (
 
 
 class Indexer:
+    #: per-bucket observe() pivots 4 aggregates per bucket into the write
+    #: job; past this many buckets the expression blow-up costs more than
+    #: the column-pruned read-back pass it replaces
+    _OBSERVE_MAX_BUCKETS = 64
+
     def __init__(self, config: ColBERTConfig | None = None):
         self.config = ColBERTConfig.from_existing(config)
 
@@ -69,6 +74,11 @@ class Indexer:
 
         spark = collection.sparkSession
         t0 = time.monotonic()
+        # Spark's FileStatusCache is session-wide: a resume after external
+        # bucket loss (or this run's append) would otherwise serve stale
+        # file listings to this build and to Searchers created afterwards.
+        if cat.exists():
+            spark.catalog.refreshByPath(str(cat.root))
 
         # ---- setup + train: tokens, corpus stats, term dictionary --------
         # job-count discipline: each driver action costs ~0.5-2s of fixed
@@ -85,20 +95,32 @@ class Indexer:
         doc_stats_df = collection.select(
             F.col("pid"), _doclen("text", cfg.doc_maxlen).alias("doclen")
         ).persist()
-        row = doc_stats_df.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
-        ).collect()[0]
-        num_docs, avgdl = int(row["n"]), float(row["avgdl"])
-        term_dict = builder.build_term_dict(token_df, num_docs).persist()
-        n_terms, n_term_ids, num_postings = (
-            term_dict.agg(
-                F.count("term"), F.countDistinct("term_id"), F.sum("df")
-            ).collect()[0]
+        # ONE action for all build statistics: corpus stats × term stats
+        # (idf-free term_agg, since idf needs num_docs from this same
+        # action). The crossJoin of two 1-row aggregates materializes both
+        # persisted inputs in a single driver job.
+        term_agg_df = builder.term_agg(token_df).persist()
+        row = (
+            doc_stats_df.agg(
+                F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+            )
+            .crossJoin(
+                term_agg_df.agg(
+                    F.count("term").alias("n_terms"),
+                    F.countDistinct(F.xxhash64("term")).alias("n_term_ids"),
+                    F.sum("df").alias("num_postings"),
+                )
+            )
+            .collect()[0]
         )
+        num_docs, avgdl = int(row["n"]), float(row["avgdl"])
+        n_terms, n_term_ids = row["n_terms"], row["n_term_ids"]
+        num_postings = row["num_postings"]
         if n_terms != n_term_ids:  # xxhash64 collision — fail loudly
             raise RuntimeError(
                 f"term_id hash collision: {n_terms} terms → {n_term_ids} ids"
             )
+        term_dict = builder.term_dict_from_agg(term_agg_df, num_docs)
 
         cat.write_json(
             "plan.json",
@@ -128,6 +150,32 @@ class Indexer:
         blocks = builder.build_postings(token_df, term_dict, avgdl, cfg)
         if done:
             blocks = blocks.filter(F.col("bucket").isin(todo))
+
+        # per-bucket lineage metrics ride the write itself (observe() →
+        # CollectMetrics inside the write job): no second pass over the
+        # written index. bit_xor of xxhash64 is order-independent and
+        # overflow-free; the build is deterministic, so the content
+        # fingerprint doubles as an input-drift detector for resume.
+        # Pivoted per-bucket aggregates scale with index_partitions, so
+        # beyond _OBSERVE_MAX_BUCKETS fall back to one column-pruned
+        # read-back pass (never touches the binary posting columns).
+        obs = None
+        if len(todo) <= self._OBSERVE_MAX_BUCKETS:
+            from pyspark.sql import Observation
+
+            obs = Observation("bucket_metrics")
+            h = F.xxhash64("term_id", "block_id", "first_pid", "num_postings")
+            aggs = []
+            for bkt in todo:
+                cond = F.col("bucket") == bkt
+                aggs += [
+                    F.count(F.when(cond, 1)).alias(f"nb_{bkt}"),
+                    F.sum(F.when(cond, F.col("num_postings"))).alias(f"np_{bkt}"),
+                    F.sum(F.when(cond, F.col("enc_bytes"))).alias(f"bw_{bkt}"),
+                    F.bit_xor(F.when(cond, h)).alias(f"fp_{bkt}"),
+                ]
+            blocks = blocks.observe(obs, *aggs)
+
         mode = "append" if done else "overwrite"
         (
             blocks.repartition(cfg.index_partitions, "bucket")
@@ -147,38 +195,68 @@ class Indexer:
         cat.write(stats_df, "corpus_stats")
 
         wall_ms = int((time.monotonic() - t0) * 1000)
-        # single read-back pass: per-bucket lineage metrics + content
-        # fingerprint (bit_xor: order-independent, overflow-free). The build
-        # is deterministic, so the segment-content fingerprint doubles as an
-        # input-drift detector for resume.
-        per_bucket = (
-            cat.read(spark, "postings")
-            .groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("num_blocks"),
-                F.sum("num_postings").alias("num_postings"),
-                F.sum("enc_bytes").alias("bytes_written"),
-                F.bit_xor(
-                    F.xxhash64("term_id", "block_id", "first_pid", "num_postings")
-                ).alias("fp"),
-            )
-        )
-        # every bucket gets a row, even if empty (resume contract)
-        manifest = (
-            spark.range(cfg.index_partitions).withColumnRenamed("id", "bucket")
-            .join(per_bucket, "bucket", "left")
-            .select(
-                F.col("bucket").cast("long"),
-                F.coalesce(F.col("fp").cast("string"), F.lit("empty")).alias(
-                    "input_fingerprint"
-                ),
-                F.coalesce("num_blocks", F.lit(0)).alias("num_blocks"),
-                F.coalesce("num_postings", F.lit(0)).alias("num_postings"),
-                F.coalesce("bytes_written", F.lit(0)).alias("bytes_written"),
-                F.lit(wall_ms).alias("wall_ms"),
-                F.lit("ok").alias("status"),
-            )
-        )
+        # manifest: every bucket gets a row (resume contract). Rows for
+        # buckets built THIS run come from the write's observed metrics;
+        # previously-built buckets keep their original manifest rows
+        # (collected BEFORE the manifest dir is overwritten — tiny table).
+        old_rows: list[tuple] = []
+        if done:
+            old_rows = [
+                tuple(r)
+                for r in cat.read(spark, "manifest")
+                .filter(F.col("status") == "ok")
+                .filter(F.col("bucket").isin(sorted(done)))
+                .select("bucket", "input_fingerprint", "num_blocks",
+                        "num_postings", "bytes_written", "wall_ms", "status")
+                .collect()
+            ]
+        if obs is not None:
+            vals = obs.get
+            new_rows = [
+                (
+                    int(bkt),
+                    ("empty" if vals[f"fp_{bkt}"] is None
+                     else str(vals[f"fp_{bkt}"])),
+                    int(vals[f"nb_{bkt}"] or 0),
+                    int(vals[f"np_{bkt}"] or 0),
+                    int(vals[f"bw_{bkt}"] or 0),
+                    wall_ms,
+                    "ok",
+                )
+                for bkt in todo
+            ]
+        else:
+            # fallback: one column-pruned read-back over this run's buckets
+            per_bucket = {
+                r["bucket"]: r
+                for r in cat.read(spark, "postings")
+                .filter(F.col("bucket").isin(todo))
+                .groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("num_blocks"),
+                    F.sum("num_postings").alias("num_postings"),
+                    F.sum("enc_bytes").alias("bytes_written"),
+                    F.bit_xor(
+                        F.xxhash64("term_id", "block_id", "first_pid",
+                                   "num_postings")
+                    ).alias("fp"),
+                )
+                .collect()
+            }
+            new_rows = [
+                (
+                    int(bkt),
+                    (str(per_bucket[bkt]["fp"]) if bkt in per_bucket
+                     else "empty"),
+                    int(per_bucket[bkt]["num_blocks"]) if bkt in per_bucket else 0,
+                    int(per_bucket[bkt]["num_postings"]) if bkt in per_bucket else 0,
+                    int(per_bucket[bkt]["bytes_written"]) if bkt in per_bucket else 0,
+                    wall_ms,
+                    "ok",
+                )
+                for bkt in todo
+            ]
+        manifest = spark.createDataFrame(old_rows + new_rows, MANIFEST_SCHEMA)
         cat.write(manifest, "manifest")
         cat.write_json(
             "metadata.json",
@@ -195,5 +273,8 @@ class Indexer:
         if cfg.cache_tokens:
             token_df.unpersist()
         doc_stats_df.unpersist()
-        term_dict.unpersist()
+        term_agg_df.unpersist()
+        # drop listings captured mid-build so post-build readers see the
+        # final file set (matters for append-mode resume in one session)
+        spark.catalog.refreshByPath(str(cat.root))
         return str(cat.root)

@@ -45,6 +45,30 @@ class Ranking:
         Path(str(p) + ".meta").write_text(json.dumps(meta, indent=2, sort_keys=True))
         return str(p)
 
+    def save_distributed(self, path: str, partition_by_qid_buckets: int = 0
+                         ) -> str:
+        """Large-Q×k sink: executors write TSV shards directly (no driver
+        collect — save() is reference-parity for small rankings; this is
+        the 100-TB path). Optional qid-bucket partitioning gives readers
+        per-bucket pruning. Returns the directory path; .meta sidecar as
+        in save()."""
+        line = F.concat_ws("\t", "qid", "pid", "rank", "score").alias("value")
+        if partition_by_qid_buckets > 0:
+            (
+                self.df.select(
+                    F.pmod("qid", F.lit(partition_by_qid_buckets))
+                    .alias("qbucket"), line
+                )
+                .write.mode("overwrite").partitionBy("qbucket").text(path)
+            )
+        else:
+            self.df.select(line).write.mode("overwrite").text(path)
+        meta = {"provenance": self.provenance}
+        Path(path + ".meta").write_text(
+            json.dumps(meta, indent=2, sort_keys=True)
+        )
+        return path
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Ranking":
         """Numericize TSV fields (load_ranking, ranking.py:18-43)."""

@@ -228,3 +228,48 @@ def test_ivf_first_k_quantizer_matches_probe_all(spark):
         ).collect()
     )
     assert ivf == brute
+
+
+def test_lsh_pandas_impl_high_dim_recall(spark):
+    """dim-128 LSH must route to the Arrow matmul signature path (auto)
+    and keep recall vs brute; the expr path at this dim would build a
+    128×8×6-literal codegen tree."""
+    emb64 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb64.select(
+        "vec_id", F.concat("embedding", "embedding").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    brute_rows = similarity.cosine_topk_brute(emb, queries, k=5).collect()
+    lsh = similarity.cosine_topk_lsh(emb, queries, k=5, n_planes=8,
+                                     signature_impl="auto")
+    lsh_rows = lsh.collect()
+    brute_sets, lsh_sets = {}, {}
+    for r in brute_rows:
+        brute_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in lsh_rows:
+        lsh_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(brute_sets[q] & lsh_sets.get(q, set())) / len(brute_sets[q])
+        for q in brute_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_lsh_pandas_and_expr_buckets_agree_on_small_dim(spark):
+    """On a dim where both impls are viable, the two signature paths must
+    produce the same candidate structure for exact duplicates: a vector
+    always shares all buckets with itself-as-query (recall 1.0 for the
+    self pair at rank 1 — excluded — so its exact duplicate wins)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    both = emb.unionByName(dup)
+    queries = both.filter(F.col("vec_id") == 1003).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    for impl in ("expr", "pandas"):
+        rows = similarity.cosine_topk_lsh(
+            both, queries, k=1, n_planes=8, signature_impl=impl).collect()
+        assert rows and rows[0]["vec_id"] == 3 and rows[0]["sim"] == 1.0, impl

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pytest
 import pyspark.sql.functions as F
@@ -216,3 +218,56 @@ def test_dpr_normalize_reference_semantics(spark):
              dpr.annotate_ranking(ranking, collection, answers),
              cutoffs=(1, 2, 3)).collect()}
     assert m == {1: (1.0, 1.0), 2: (1.0, 1.0), 3: (1.0, 2.0)}
+
+
+def test_ranking_save_distributed(spark, tmp_path):
+    from colbert_spark.sources.ranking import Ranking
+
+    df = spark.createDataFrame(
+        [(q, q * 10 + r, r, 10.0 - r) for q in range(4) for r in (1, 2)],
+        "qid long, pid long, rank int, score double",
+    )
+    r = Ranking(df, {"engine": "test"})
+    out = str(tmp_path / "rank_dir")
+    r.save_distributed(out, partition_by_qid_buckets=2)
+    back = Ranking.load(spark, out + "/qbucket=*").df.collect()
+    assert {(x["qid"], x["pid"], x["rank"], x["score"]) for x in back} == {
+        (q, q * 10 + rr, rr, 10.0 - rr) for q in range(4) for rr in (1, 2)
+    }
+    import json as _json
+    assert _json.loads((tmp_path / "rank_dir.meta").read_text())[
+        "provenance"]["engine"] == "test"
+
+
+def test_tune_best_run(tmp_path):
+    from colbert_spark.sources.tuning import tune_best_run
+
+    paths = []
+    for i, s in enumerate((0.3, 0.9, 0.5)):
+        p = tmp_path / f"run{i}.metrics.json"
+        p.write_text(json.dumps({"success": {"20": s}}))
+        paths.append(str(p))
+    best, scores = tune_best_run(paths, "success.20",
+                                 output=str(tmp_path / "best.txt"))
+    assert best == paths[1]
+    assert (tmp_path / "best.txt").read_text() == paths[1]
+    assert json.loads((tmp_path / "best.txt.meta").read_text())[
+        "scores"][paths[1]] == 0.9
+
+
+def test_split_queries_holdout(spark):
+    import random as _random
+    from colbert_spark.sources.tuning import split_queries_holdout
+
+    qs = spark.createDataFrame(
+        [(i * 3, f"q {i}") for i in range(50)], "qid long, text string"
+    )
+    main, hold = split_queries_holdout(qs, holdout=10, seed=12345)
+    main_ids = {r["qid"] for r in main.collect()}
+    hold_ids = {r["qid"] for r in hold.collect()}
+    assert len(hold_ids) == 10 and len(main_ids) == 40
+    assert not (main_ids & hold_ids)
+    # exact reference sampling rule: random.sample over qid-ordered positions
+    expected = {sorted(i * 3 for i in range(50))[p]
+                for p in _random.Random(12345).sample(range(50), 10)}
+    assert hold_ids == expected
