@@ -187,18 +187,24 @@ def topk_scatter(blocks: DataFrame, qterms: DataFrame, k: int,
     scored = partials.join(F.broadcast(qterms), "term_id").select(
         "qid", "pid", (F.col("idf") * F.col("core")).alias("s")
     )
-    agg = scored.groupBy("qid", "pid").agg(
-        F.round(F.sum("s"), SCORE_DECIMALS).alias("score")
-    )
     if qid_to_pids is not None:
         # pid allow-list (F3, colbert/searcher.py:65-94): qids present in the
         # list are restricted to their pids; absent qids stay unrestricted.
+        # Applied BEFORE the (qid, pid) aggregation so the one shuffle
+        # carries only allowed pairs — ranking work scales with the
+        # candidate set, not the corpus.
         allow = qid_to_pids.select("qid", "pid")
-        restricted = agg.join(allow, ["qid", "pid"], "left_semi")
-        unrestricted = agg.join(
-            allow.select("qid").distinct(), "qid", "left_anti"
+        restricted_qids = allow.select("qid").distinct()
+        restricted = scored.join(
+            F.broadcast(restricted_qids), "qid", "left_semi"
+        ).join(F.broadcast(allow), ["qid", "pid"], "left_semi")
+        unrestricted = scored.join(
+            F.broadcast(restricted_qids), "qid", "left_anti"
         )
-        agg = restricted.unionByName(unrestricted)
+        scored = restricted.unionByName(unrestricted)
+    agg = scored.groupBy("qid", "pid").agg(
+        F.round(F.sum("s"), SCORE_DECIMALS).alias("score")
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("int"))

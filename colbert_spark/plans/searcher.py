@@ -67,24 +67,26 @@ class Searcher:
 
     # -- query encoding (lexical analog of Searcher.encode) ----------------
     def _query_terms(self, queries: DataFrame) -> DataFrame:
-        """(qid, term_id, idf) for in-dictionary distinct query terms."""
+        """(qid, term_id, idf, df) for in-dictionary distinct query terms.
+        df rides along so ONE collect of this (tiny) frame answers both
+        the auto-mode decision and the scan-pruning term list."""
         qt = queries.select(
             "qid",
             F.explode(
                 analysis.tokens("text", self.config.query_maxlen)
             ).alias("term"),
         ).distinct()
-        return qt.join(self.term_dict.select("term", "term_id", "idf"), "term") \
-                 .select("qid", "term_id", "idf")
+        return qt.join(
+            self.term_dict.select("term", "term_id", "idf", "df"), "term"
+        ).select("qid", "term_id", "idf", "df")
 
     # beyond this many distinct query terms, an IN-list stops being a sane
     # pushdown predicate; switch to a broadcast semi-join (bucket pruning
     # still applies — bucket count is bounded by index_partitions)
     _ISIN_LIMIT = 1000
 
-    def _candidate_blocks(self, qterms: DataFrame) -> DataFrame:
+    def _candidate_blocks(self, tids: list[int]) -> DataFrame:
         """Postings scan pruned to the query terms' buckets + term ids."""
-        tids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
         if not tids:
             return None
         buckets = sorted({t % self.config.index_partitions for t in tids})
@@ -127,18 +129,24 @@ class Searcher:
                 list(queries.items()), "qid long, text string"
             )
         qterms = self._query_terms(queries).persist()
+        # ONE driver action answers everything the planner needs: cube
+        # gives the vocab-bounded per-term rows (→ scan-pruning tid list)
+        # plus the grand-total row (→ auto-mode nq/maxdf) in a single job.
+        stats_rows = (
+            qterms.cube("term_id")
+            .agg(F.countDistinct("qid").alias("nq"), F.max("df").alias("maxdf"))
+            .collect()
+        )
+        tids = [int(r["term_id"]) for r in stats_rows
+                if r["term_id"] is not None]
         if mode == "auto":
-            stats = qterms.join(
-                self.term_dict.select("term_id", "df"), "term_id"
-            ).agg(
-                F.countDistinct("qid").alias("nq"), F.max("df").alias("maxdf")
-            ).collect()[0]
-            big = (
-                (stats["nq"] or 0) > self._AUTO_SCATTER_QUERIES
-                or (stats["maxdf"] or 0) > self._AUTO_SCATTER_DF
+            total = next((r for r in stats_rows if r["term_id"] is None), None)
+            big = total is not None and (
+                (total["nq"] or 0) > self._AUTO_SCATTER_QUERIES
+                or (total["maxdf"] or 0) > self._AUTO_SCATTER_DF
             )
             mode = "scatter" if big else "gather"
-        blocks = self._candidate_blocks(qterms)
+        blocks = self._candidate_blocks(tids)
         if blocks is None:
             empty = self.spark.createDataFrame([], wand.RANKING_SCHEMA)
             return Ranking(empty, self._provenance(k, mode))
