@@ -585,6 +585,20 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, max_hamming=10, portable_hash=True)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — the brute ground-truth form (the
+    oracle path; the LSH-blocked scale path of the same operator is
+    recall-pytested against this)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return similarity.cosine_near_pairs(emb, threshold=0.35, blocking="brute")
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Subword (BPE-rate heuristic) token accounting per source —
+    LLM-token cost estimation over the corpus."""
+    return textstats.token_counts_bpe(_docs(spark, sf_dir), "source")
+
+
 def q_ann_lsh_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -640,6 +654,8 @@ QUERIES = {
     "rerank_topk": q_rerank_topk,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "token_count_bpe": q_token_count_bpe,
     "ann_lsh_top5": q_ann_lsh_top5,
     "ann_ivf_top5": q_ann_ivf_top5,
 }
@@ -1155,6 +1171,41 @@ SELECT qid, pid, rank, score FROM (
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS rank
   FROM allowed
 ) WHERE rank <= 10
+"""
+
+ORACLE["dedup_embedding"] = """
+WITH it AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+)
+SELECT a, b, sim FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+  FROM it x JOIN it y ON x.vec_id < y.vec_id
+) WHERE sim >= 0.35
+"""
+
+ORACLE["token_count_bpe"] = """
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents
+),
+c AS (
+  SELECT source,
+         len(terms) AS n_words,
+         coalesce(CAST(list_sum(list_transform(
+             terms, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT),
+           0) AS n_sub
+  FROM t
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_sub) AS BIGINT) AS total_subwords,
+       round(avg(n_sub), 6) AS avg_subwords
+FROM c GROUP BY source
 """
 
 # Exact replay of cosine_topk_ivf(quantizer="first_k", n_clusters=16,

@@ -325,3 +325,71 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", F.col("rank").cast("long").alias("rank"), "sim")
     )
+
+
+def cosine_near_pairs(
+    items: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocking: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs → (a, b, sim ≥ threshold),
+    a < b. The dedup-family twin of the ANN top-k operators.
+
+    blocking="brute": exact all-pairs scan — quadratic, the ground-truth/
+    oracle path (fixture scale only; the docstring threshold: don't run
+    beyond ~10^5 vectors).
+    blocking="lsh": multi-table random-hyperplane buckets block the
+    corpus; only bucket-colliding pairs get the exact cosine. At high
+    thresholds collision probability per table is (1 − θ/π)^J with θ
+    small, so near-dups collide with near-certainty while the bucket join
+    keeps the candidate set ~linear. Recall vs brute is pytest-measured
+    (probabilistic, unlike SimHash's combinatorial guarantee).
+    """
+    it = items.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nv", _norm(F.col("v")))
+    if blocking == "brute":
+        a = it.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                      F.col("nv").alias("na"))
+        b = it.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                      F.col("nv").alias("nb"))
+        pairs = a.join(b, F.col("a") < F.col("b"))
+    elif blocking == "lsh":
+        dim = len(items.select(vec_col).first()[0])
+        tables = [_hyperplanes(dim, n_planes, seed=42 + 97 * t)
+                  for t in range(n_tables)]
+        if dim * n_planes * n_tables > _LSH_EXPR_LIMIT:
+            banded = _lsh_buckets_pandas(
+                it.select("vec_id", "v"), "vec_id", "v", tables, n_planes,
+                flip_bits=False,
+            ).withColumn("nv", _norm(F.col("v")))
+        else:
+            banded = it.withColumn(
+                "bucket",
+                F.explode(F.array(*[
+                    lsh_signature_col("v", tables[t]) + F.lit(t << n_planes)
+                    for t in range(n_tables)
+                ])),
+            )
+        a = banded.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                          F.col("nv").alias("na"), "bucket")
+        b = banded.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                          F.col("nv").alias("nb"), "bucket")
+        pairs = (
+            a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+            .drop("bucket").dropDuplicates(["a", "b"])
+        )
+    else:
+        raise ValueError(f"unknown blocking {blocking!r}")
+    return pairs.select(
+        "a", "b",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            SIM_DECIMALS,
+        ).alias("sim"),
+    ).filter(F.col("sim") >= threshold)

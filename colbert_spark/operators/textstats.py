@@ -96,3 +96,32 @@ def lang_id_heuristic(docs: DataFrame, id_col: str = "doc_id",
         F.round(ratio, 6).alias("en_ratio"),
         F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
     )
+
+
+def token_counts_bpe(docs: DataFrame, group_col: str, text_col: str = "text"
+                     ) -> DataFrame:
+    """(group, n_docs, total_words, total_subwords, avg_subwords):
+    subword-level token accounting. Subwords per word = ceil(len/4) — the
+    standard ~4-chars-per-BPE-token rate applied per word, giving a
+    deterministic, engine-portable estimate of LLM token cost (a real BPE
+    vocab isn't in this sandbox; swap the inner expression for a
+    tokenizer UDF to make it exact). All JVM-side: transform + aggregate
+    inside whole-stage codegen."""
+    t = docs.select(
+        F.col(group_col).alias("grp"),
+        analysis.tokens(text_col).alias("_t"),
+    ).select(
+        "grp",
+        F.size("_t").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform("_t", lambda x: F.ceil(F.length(x) / 4.0)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n_sub"),
+    )
+    return t.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_sub").alias("total_subwords"),
+        F.round(F.avg("n_sub"), 6).alias("avg_subwords"),
+    )

@@ -273,3 +273,32 @@ def test_lsh_pandas_and_expr_buckets_agree_on_small_dim(spark):
         rows = similarity.cosine_topk_lsh(
             both, queries, k=1, n_planes=8, signature_impl=impl).collect()
         assert rows and rows[0]["vec_id"] == 3 and rows[0]["sim"] == 1.0, impl
+
+
+def test_cosine_near_pairs_lsh_recall_vs_brute(spark):
+    """LSH-blocked embedding near-dup recall vs the exact all-pairs scan.
+    Plants exact + jittered duplicates so high-sim pairs exist; at sim
+    ≥ 0.9 the hyperplane collision probability per table is ≈ (1 − θ/π)^J
+    with θ ≈ 26°, so 6 tables recover planted pairs with near-certainty."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    rows = emb.collect()
+    planted = []
+    rng = np.random.Generator(np.random.Philox(key=7))
+    for i, r in enumerate(rows[:20]):
+        v = np.array(r["embedding"], dtype=np.float64)
+        jit = v + rng.normal(0, 0.05 * np.abs(v).mean(), v.size)
+        planted.append((int(r["vec_id"]) + 10_000, [float(x) for x in jit]))
+    both = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+        .select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    )
+    brute = {(r["a"], r["b"]) for r in similarity.cosine_near_pairs(
+        both, threshold=0.9, blocking="brute").collect()}
+    lsh = {(r["a"], r["b"]) for r in similarity.cosine_near_pairs(
+        both, threshold=0.9, blocking="lsh", n_planes=8).collect()}
+    assert len(brute) >= 15          # the plant worked
+    assert lsh <= brute              # exact filter → no false positives
+    assert len(lsh & brute) / len(brute) >= 0.9
