@@ -111,3 +111,57 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     # and the stream must have closed all but the open tail sessions
     open_tails = {u for (u, s) in batch} # one possibly-open session per user
     assert len(got) >= len(batch) - len(open_tails)
+
+
+def test_sessionize_batch_deterministic_with_tied_timestamps(spark):
+    """Duplicate (user_id, ts) events: the window orders by (ts, event_id)
+    with an explicit ROWS frame, so session assignment is deterministic
+    and matches a straightforward Python replay of the gap rule."""
+    import datetime as dt
+
+    from colbert_spark.streaming.sessionize import sessionize_batch
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: tie at t=0 (events 0,1), gap, tie at t=60 (events 2,3)
+        (0, ts(0), 1, 1.0), (1, ts(0), 1, 2.0),
+        (2, ts(60), 1, 3.0), (3, ts(60), 1, 4.0),
+        # user 2: tie exactly at the session boundary — events 10 min apart
+        # then two with identical ts 40 min later
+        (4, ts(0), 2, 1.0), (5, ts(10), 2, 1.0),
+        (6, ts(50), 2, 1.0), (7, ts(50), 2, 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"],
+                                          round(r["sum_value"], 2))
+        for r in sessionize_batch(ev, gap_minutes=30).collect()
+    }
+    # python replay: order by (ts, event_id), new session when gap > 30min
+    expected = {}
+    for user, events in ((1, rows[0:4]), (2, rows[4:8])):
+        events = sorted(events, key=lambda e: (e[1], e[0]))
+        sid, last = -1, None
+        for eid, t, u, v in events:
+            if last is None or (t - last).total_seconds() > 1800:
+                sid += 1
+                expected[(user, sid)] = [0, 0.0]
+            expected[(user, sid)][0] += 1
+            expected[(user, sid)][1] = round(expected[(user, sid)][1] + v, 2)
+            last = t
+    assert got == {k: tuple(v) for k, v in expected.items()}
+    # stable under input shuffling (the tiebreak does its job)
+    got2 = {
+        (r["user_id"], r["session_id"]): (r["n_events"],
+                                          round(r["sum_value"], 2))
+        for r in sessionize_batch(
+            ev.orderBy(F.desc("event_id")).repartition(8), gap_minutes=30
+        ).collect()
+    }
+    assert got2 == got
