@@ -186,13 +186,23 @@ class Indexer:
         )
 
         # ---- finalize: stats tables, manifest, metadata -------------------
-        cat.write(term_dict, "term_dict")
-        cat.write(doc_stats_df, "doc_stats")
+        # the three stats tables are independent small writes; submit them
+        # concurrently so their fixed per-job latencies overlap (Spark's
+        # scheduler handles multi-threaded action submission)
+        from concurrent.futures import ThreadPoolExecutor
+
         stats_df = spark.createDataFrame(
             [(num_docs, avgdl, int(n_terms), int(num_postings))],
             "num_docs long, avg_doclen double, num_terms long, num_postings long",
         )
-        cat.write(stats_df, "corpus_stats")
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(cat.write, term_dict, "term_dict"),
+                pool.submit(cat.write, doc_stats_df, "doc_stats"),
+                pool.submit(cat.write, stats_df, "corpus_stats"),
+            ]
+            for fut in futures:
+                fut.result()
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         # manifest: every bucket gets a row (resume contract). Rows for
