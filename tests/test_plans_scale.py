@@ -37,7 +37,9 @@ def test_postings_scan_prunes_partitions_and_pushes_filters(spark, built):
     searcher = Searcher("p1", spark, cfg)
     queries = spark.createDataFrame([(0, "t00000 t00042")], "qid long, text string")
     qterms = searcher._query_terms(queries)
-    blocks = searcher._candidate_blocks(qterms)
+    tids = [r["term_id"]
+            for r in qterms.select("term_id").distinct().collect()]
+    blocks = searcher._candidate_blocks(tids)
     plan = blocks._jdf.queryExecution().executedPlan().toString()
     # partition pruning on bucket= (Hive-partitioned read)
     assert "PartitionFilters" in plan
