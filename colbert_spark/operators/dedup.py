@@ -199,8 +199,12 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
+    # the signature table feeds BOTH sides of the candidate self-join;
+    # without a persist Spark recomputes the whole shingle→hash→min
+    # pipeline twice. Signatures are num_perm longs/doc — tiny next to
+    # the text — so caching them is the right trade at any corpus size.
     sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col,
-                              portable_hash=portable_hash)
+                              portable_hash=portable_hash).persist()
     banded = sigs.select(
         id_col, "sig",
         F.explode(
@@ -303,7 +307,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
 
     k, c = simhash_blocking_plan(max_hamming)
     if sigs is None:
-        sigs = simhash64(docs, id_col, text_col, portable_hash=portable_hash)
+        # both join sides read the signatures; persist so the Arrow
+        # bit-fold kernel runs once (one long per doc — cheap to cache)
+        sigs = simhash64(docs, id_col, text_col,
+                         portable_hash=portable_hash).persist()
     band_exprs = [
         f"(shiftright(simhash, {off}) & {(1 << w) - 1})"
         for off, w in _band_bounds(64, k)
