@@ -585,6 +585,20 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, max_hamming=10, portable_hash=True)
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing over binary payloads: row explosion,
+    deterministic indices/timestamps/sizes (the chopper is the stubbed
+    codec; raw frame bytes are pytest-determinism-checked)."""
+    blobs = multimodal.attach_blob(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    )
+    fr = multimodal.sample_frames(blobs, every_nth=2, frame_bytes=64, fps=30)
+    return fr.select(
+        "doc_id", "frame_idx", "ts_ms",
+        F.octet_length("frame").cast("long").alias("n_frame_bytes"),
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs — the brute ground-truth form (the
     oracle path; the LSH-blocked scale path of the same operator is
@@ -654,6 +668,7 @@ QUERIES = {
     "rerank_topk": q_rerank_topk,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "multimodal_frames": q_multimodal_frames,
     "dedup_embedding": q_dedup_embedding,
     "token_count_bpe": q_token_count_bpe,
     "ann_lsh_top5": q_ann_lsh_top5,
@@ -1171,6 +1186,18 @@ SELECT qid, pid, rank, score FROM (
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS rank
   FROM allowed
 ) WHERE rank <= 10
+"""
+
+ORACLE["multimodal_frames"] = """
+WITH b AS (
+  SELECT doc_id, encode(text) AS blob FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 1000 // 30 AS BIGINT) AS ts_ms,
+       CAST(greatest(least(64, octet_length(blob) - i * 64), 0) AS BIGINT)
+         AS n_frame_bytes
+FROM b, unnest(range(0, greatest(octet_length(blob) // 64, 1), 2)) AS u(i)
 """
 
 ORACLE["dedup_embedding"] = """

@@ -89,3 +89,67 @@ def extract_features(blobs: DataFrame, id_col: str = "doc_id",
             )
 
     return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, blob binary, width int, height int"
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, ts_ms long, frame binary"
+
+
+def resize_images(blobs: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id", blob_col: str = "blob"
+                  ) -> DataFrame:
+    """Image resize plumbing: one mapInPandas pass, binary in → binary out
+    at the requested dimensions. The RESIZE ITSELF is a deterministic stub
+    (payload truncated/right-padded to width·height bytes — a 1-byte-per-
+    pixel stand-in); production swaps the inner loop for Pillow's
+    `Image.resize` without touching schema, batching, or the plan."""
+
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[blob_col]:
+                raw = bytes(b)
+                out.append(raw[:target].ljust(target, b"\0"))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "blob": out,
+                "width": width,
+                "height": height,
+            })
+
+    return blobs.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(videos: DataFrame, every_nth: int = 10,
+                  frame_bytes: int = 256, fps: int = 30,
+                  id_col: str = "doc_id", blob_col: str = "blob"
+                  ) -> DataFrame:
+    """Video frame-sampling plumbing: one input row explodes into many
+    (doc_id, frame_idx, ts_ms, frame) rows inside mapInPandas — the real
+    contract a decoder needs (row explosion, bounded batches, typed
+    output). The CONTAINER PARSE is a deterministic stub (payload chopped
+    into fixed-size pseudo-frames, every_nth kept, timestamps from a
+    nominal fps); production swaps the chopper for ffmpeg/pyav keyframe
+    extraction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(b)
+                n_frames = max(len(raw) // frame_bytes, 1)
+                for i in range(0, n_frames, every_nth):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * 1000 // fps)
+                    frames.append(raw[i * frame_bytes:(i + 1) * frame_bytes])
+            if ids:
+                yield pd.DataFrame({
+                    "doc_id": ids, "frame_idx": idxs,
+                    "ts_ms": tss, "frame": frames,
+                })
+
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -302,3 +302,34 @@ def test_cosine_near_pairs_lsh_recall_vs_brute(spark):
     assert len(brute) >= 15          # the plant worked
     assert lsh <= brute              # exact filter → no false positives
     assert len(lsh & brute) / len(brute) >= 0.9
+
+
+def test_multimodal_resize_and_frame_sample(spark, dup_docs):
+    """Resize/frame-sample plumbing: schemas, explosion counts, and
+    determinism are the contract (codecs are stubbed by design)."""
+    blobs = multimodal.attach_blob(dup_docs)
+    resized = multimodal.resize_images(blobs, width=8, height=4).collect()
+    assert {r["doc_id"] for r in resized} == set(range(6))
+    for r in resized:
+        assert len(r["blob"]) == 32 and r["width"] == 8 and r["height"] == 4
+
+    frames = multimodal.sample_frames(blobs, every_nth=2, frame_bytes=16,
+                                      fps=30).collect()
+    texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        n_frames = max(len(texts[doc_id].encode()) // 16, 1)
+        expected_idx = list(range(0, n_frames, 2))
+        assert sorted(r["frame_idx"] for r in rows) == expected_idx
+        for r in rows:
+            assert r["ts_ms"] == r["frame_idx"] * 1000 // 30
+    # deterministic
+    again = multimodal.sample_frames(blobs, every_nth=2, frame_bytes=16,
+                                     fps=30).collect()
+    key = lambda r: (r["doc_id"], r["frame_idx"])
+    assert sorted(((r["doc_id"], r["frame_idx"], bytes(r["frame"]))
+                   for r in frames)) == \
+           sorted(((r["doc_id"], r["frame_idx"], bytes(r["frame"]))
+                   for r in again))
