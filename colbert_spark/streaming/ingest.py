@@ -92,3 +92,30 @@ def windowed_event_counts(
             key_col, "n", "sum_value",
         )
     )
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop documents whose normalized-text hash was
+    already seen within the watermark horizon — the streaming twin of
+    dedup.exact_dedup_keep_first for continuous ingestion pipelines.
+
+    State is ONE 16-byte md5 per distinct text (never the text itself),
+    and dropDuplicatesWithinWatermark evicts hashes older than the
+    watermark, so state is bounded by distinct-docs-per-horizon rather
+    than corpus size. In batch mode degrades to a plain dropDuplicates on
+    the hash (no watermark semantics needed — backfills are finite).
+    """
+    from colbert_spark.operators.dedup import normalized_text
+
+    df = docs.withColumn("_h", F.md5(F.encode(normalized_text(text_col),
+                                              "UTF-8")))
+    if df.isStreaming:
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(["_h"]).drop("_h")
+    return df.dropDuplicates(["_h"]).drop("_h")

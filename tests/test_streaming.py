@@ -165,3 +165,44 @@ def test_sessionize_batch_deterministic_with_tied_timestamps(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup drops in-horizon duplicates; batch mode
+    equals exact_dedup distinct-count semantics."""
+    import datetime as dt
+
+    from colbert_spark.streaming.ingest import stream_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, "alpha beta gamma"),
+        (1, t0 + dt.timedelta(minutes=1), "alpha beta gamma"),   # dup of 0
+        (2, t0 + dt.timedelta(minutes=2), "something else here"),
+        (3, t0 + dt.timedelta(minutes=3), "Alpha  beta GAMMA"),  # norm-dup
+        (4, t0 + dt.timedelta(minutes=4), "unique final doc"),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    batch = spark.createDataFrame(rows, schema)
+    # batch mode: one row per distinct normalized text
+    assert stream_exact_dedup(batch).count() == 3
+
+    src = tmp_path / "dedup_src"
+    batch.orderBy("doc_id").coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory").queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT doc_id FROM deduped").collect()
+    kept = sorted(r["doc_id"] for r in out)
+    # one survivor per distinct normalized text (which duplicate survives
+    # within a micro-batch is unspecified; the COUNT is the contract)
+    assert len(kept) == 3
+    assert 2 in kept and 4 in kept
+    assert len({0, 1, 3} & set(kept)) == 1
