@@ -585,6 +585,36 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, max_hamming=10, portable_hash=True)
 
 
+def q_search_after_update(spark, sf_dir):
+    """Incremental maintenance end-to-end (§2.9, reference
+    colbert/index_updater.py remove/add/persist): tombstone 30 pids, then
+    re-add the same docs — which forces a compaction (coalesce) plus a
+    frozen-stats segment append — and search the updated index. Because
+    the base index was built on the FULL corpus, the frozen stats equal
+    full-corpus stats, so the result must be bit-identical to the
+    untouched full-corpus BM25 oracle. Exercises tombstones, coalesce,
+    append, and tombstone-clearing in one driver-checked query."""
+    import hashlib
+
+    from colbert_spark.plans.config import ColBERTConfig
+    from colbert_spark.plans.index_updater import IndexUpdater
+    from colbert_spark.plans.indexer import Indexer
+    from colbert_spark.plans.searcher import Searcher
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    name = "entryq_upd_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
+                        index_name=name)
+    Indexer(cfg).index(name, docs, overwrite=True)
+    up = IndexUpdater(name, spark, cfg)
+    up.remove(list(range(30)))
+    up.add(docs.filter(F.col("pid") < 30))
+    searcher = Searcher(name, spark, cfg)
+    out = searcher.search_all(_query_df(spark), k=10).df
+    return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
+                      "score")
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing over binary payloads: row explosion,
     deterministic indices/timestamps/sizes (the chopper is the stubbed
@@ -668,6 +698,7 @@ QUERIES = {
     "rerank_topk": q_rerank_topk,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "search_after_update": q_search_after_update,
     "multimodal_frames": q_multimodal_frames,
     "dedup_embedding": q_dedup_embedding,
     "token_count_bpe": q_token_count_bpe,
@@ -1186,6 +1217,13 @@ SELECT qid, pid, rank, score FROM (
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS rank
   FROM allowed
 ) WHERE rank <= 10
+"""
+
+# remove+re-add on a full-corpus index must reproduce the untouched
+# full-corpus ranking exactly (stats were frozen at full-corpus values)
+ORACLE["search_after_update"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
+SELECT qid, pid, rank, score FROM ranked WHERE rank <= 10
 """
 
 ORACLE["multimodal_frames"] = """

@@ -45,10 +45,10 @@ class IndexUpdater:
     # -- remove ------------------------------------------------------------
     def remove(self, pids: list[int]) -> None:
         new = self.spark.createDataFrame([(int(p),) for p in pids], "pid long")
-        try:
+        if self.catalog.table_exists("tombstones"):
             old = self.catalog.read(self.spark, "tombstones")
             merged = old.unionByName(new).dropDuplicates(["pid"])
-        except Exception:
+        else:
             merged = new.dropDuplicates(["pid"])
         pdf = merged.toPandas()  # tombstone sets are small by contract
         self.spark.createDataFrame(pdf).write.mode("overwrite").parquet(
@@ -67,10 +67,10 @@ class IndexUpdater:
         """
         cfg = self.config
         added = docs.select(F.col(id_col).alias("pid")).distinct()
-        try:
+        if self.catalog.table_exists("tombstones"):
             tombs = self.catalog.read(self.spark, "tombstones")
             readded = tombs.join(added, "pid", "left_semi").count()
-        except Exception:
+        else:
             tombs, readded = None, 0
         if readded:
             # physically drop tombstoned postings before re-adding the pid
