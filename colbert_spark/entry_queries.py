@@ -585,6 +585,28 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, max_hamming=10, portable_hash=True)
 
 
+def q_hop_search(spark, sf_dir):
+    """Multi-hop retrieval (Baleen HopSearcher analog, server.hop_search):
+    hop 1 retrieves for query 0, the top doc's 5 most-frequent terms
+    (tf desc, first-occurrence asc) expand the query, hop 2 re-retrieves
+    through the indexed engine. Whole funnel oracle-replayed in SQL."""
+    from colbert_spark.server import hop_search
+
+    searcher = _indexed_searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+
+    def get_text(pid: int) -> str:
+        return docs.filter(F.col("pid") == pid).first()["text"]
+
+    pids, ranks, scores = hop_search(searcher, QUERY_SET[0][1], k=10,
+                                     hops=2, expand_terms=5,
+                                     get_doc_text=get_text)
+    return spark.createDataFrame(
+        [(int(p), int(r), float(s)) for p, r, s in zip(pids, ranks, scores)],
+        "pid long, rank long, score double",
+    )
+
+
 def q_search_after_update(spark, sf_dir):
     """Incremental maintenance end-to-end (§2.9, reference
     colbert/index_updater.py remove/add/persist): tombstone 30 pids, then
@@ -698,6 +720,7 @@ QUERIES = {
     "rerank_topk": q_rerank_topk,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "hop_search": q_hop_search,
     "search_after_update": q_search_after_update,
     "multimodal_frames": q_multimodal_frames,
     "dedup_embedding": q_dedup_embedding,
@@ -1216,6 +1239,69 @@ SELECT qid, pid, rank, score FROM (
   SELECT qid, pid, score,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS rank
   FROM allowed
+) WHERE rank <= 10
+"""
+
+_Q0_TOKEN_VALUES = ", ".join(
+    f"('{t}')" for t in dict.fromkeys(analysis.python_tokenize(
+        QUERY_SET[0][1], 32))
+)
+
+_SQL_HOP_SCORE = """
+  SELECT tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM {Q} q JOIN dfreq ON dfreq.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY tf.pid
+"""
+
+
+def _hop_score(qcte: str) -> str:
+    return _SQL_HOP_SCORE.format(K1=K1, B=B, Q=qcte)
+
+
+# Two-hop Baleen funnel: hop-1 top-1 doc → top-5 terms by (tf desc,
+# first-occurrence asc) over the UNtruncated doc → expanded term set →
+# hop-2 ranking. Expansion positions use the full text (hop_search
+# tokenizes the retrieved passage without maxlen).
+ORACLE["hop_search"] = f"""
+WITH {_SQL_CORPUS_CTES},
+q0(term) AS (VALUES {_Q0_TOKEN_VALUES}),
+s1 AS ({_hop_score('q0')}),
+top1 AS (SELECT pid FROM s1 ORDER BY score DESC, pid ASC LIMIT 1),
+fulldoc AS (
+  SELECT doc_id AS pid,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents
+),
+fulltok AS (
+  SELECT f.pid, f.terms[i] AS term, i
+  FROM fulldoc f JOIN top1 USING (pid),
+       unnest(range(1, len(f.terms) + 1)) AS r(i)
+),
+exp AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS tf2, min(i) AS fp
+    FROM fulltok GROUP BY term
+  ) ORDER BY tf2 DESC, fp ASC LIMIT 5
+),
+q1 AS (
+  SELECT DISTINCT term FROM (
+    SELECT term FROM q0 UNION ALL SELECT term FROM exp
+  )
+),
+s2 AS ({_hop_score('q1')})
+SELECT pid, rank, score FROM (
+  SELECT pid, score,
+         row_number() OVER (ORDER BY score DESC, pid ASC) AS rank
+  FROM s2
 ) WHERE rank <= 10
 """
 

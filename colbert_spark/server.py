@@ -49,13 +49,17 @@ def hop_search(searcher: Searcher, query: str, k: int = 10,
     for _ in range(hops - 1):
         if not pids or get_doc_text is None:
             break
-        from collections import Counter
-
         from colbert_spark.functions.analysis import python_tokenize
 
         top_text = get_doc_text(pids[0])
-        common = [t for t, _ in Counter(python_tokenize(top_text)).most_common(
-            expand_terms)]
-        context = context + " " + " ".join(common)
+        # expansion terms: tf desc, first-occurrence asc — explicit total
+        # order so the hop is deterministic and oracle-replayable
+        counts: dict[str, int] = {}
+        first: dict[str, int] = {}
+        for i, t in enumerate(python_tokenize(top_text)):
+            counts[t] = counts.get(t, 0) + 1
+            first.setdefault(t, i)
+        common = sorted(counts, key=lambda t: (-counts[t], first[t]))
+        context = context + " " + " ".join(common[:expand_terms])
         pids, ranks, scores = searcher.search(context, k=k)
     return pids, ranks, scores
