@@ -237,9 +237,12 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", portable_hash: bool = False) -> DataFrame:
     """(id, simhash: long) 64-bit SimHash over tf-weighted term hashes.
 
-    Terms are hashed JVM-side (xxhash64, or md5_hash64 when portable_hash —
-    see minhash docstring); the per-doc bit-fold runs in an Arrow
-    applyInPandas kernel (numpy unpackbits — no per-row Python).
+    Pure JVM: per-bit votes are 64 conditional-sum aggregates over the
+    (id, term-hash, tf) rows — whole-stage codegen with map-side partial
+    aggregation, so the one shuffle carries 64 partial longs per doc
+    instead of every (doc, term) row to a Python group (the previous
+    per-doc applyInPandas fold paid Python overhead per document and
+    could not combine map-side).
     """
     term_h = (
         docs.select(F.col(id_col), F.explode(analysis.tokens(text_col)).alias("term"))
@@ -247,21 +250,24 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.count(F.lit(1)).alias("tf"))
         .select(id_col, _hash64("term", portable_hash).alias("h"), "tf")
     )
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["h"].to_numpy().astype(np.uint64)
-        w = pdf["tf"].to_numpy().astype(np.int64)
-        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        votes = (bits.astype(np.int64) * 2 - 1) * w[:, None]
-        sig_bits = (votes.sum(axis=0) > 0).astype(np.uint8)
-        sig = int(np.packbits(sig_bits, bitorder="little").view(np.uint64)[0])
-        # reinterpret as signed int64 for Spark LongType
-        sig = sig - (1 << 64) if sig >= (1 << 63) else sig
-        return pd.DataFrame({id_col: [pdf[id_col].iloc[0]], "simhash": [sig]})
-
-    return term_h.groupBy(id_col).applyInPandas(
-        fold, schema=f"{id_col} long, simhash long"
-    )
+    votes = term_h.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"v{b}")
+        for b in range(64)
+    ])
+    # assemble the signed int64: bits 0..62 sum directly; bit 63 is the
+    # sign bit (adding 1<<63 would overflow ANSI int64 — add −2^63 instead,
+    # the same two's-complement value)
+    low = None
+    for b in range(63):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        low = term if low is None else low + term
+    sig = low + F.when(F.col("v63") > 0,
+                       F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_blocking_plan(max_hamming: int) -> tuple[int, int]:
