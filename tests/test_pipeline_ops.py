@@ -333,3 +333,47 @@ def test_multimodal_resize_and_frame_sample(spark, dup_docs):
                    for r in frames)) == \
            sorted(((r["doc_id"], r["frame_idx"], bytes(r["frame"]))
                    for r in again))
+
+
+def test_simhash_jvm_fold_matches_numpy_reference(spark):
+    """The 64-aggregate JVM fold must equal an independent numpy
+    implementation of SimHash on randomized corpora (hash → ±tf votes per
+    bit → sign bits → signed int64)."""
+    import numpy as np
+
+    from colbert_spark.functions.analysis import python_tokenize
+
+    rng = np.random.Generator(np.random.Philox(key=123))
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for doc_id in range(60):
+        n = int(rng.integers(1, 50))
+        words = [vocab[int(i)] for i in rng.integers(0, len(vocab), n)]
+        rows.append((doc_id, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash64(docs).collect()}
+
+    # independent reference: xxhash64 values pulled from Spark (the hash
+    # itself is JVM-only), fold done fully in numpy
+    hdf = spark.createDataFrame(
+        [(t,) for t in vocab], "term string"
+    ).select("term", F.xxhash64("term").alias("h")).collect()
+    h_of = {r["term"]: np.uint64(np.int64(r["h"])) for r in hdf}
+    for doc_id, text in rows:
+        toks = python_tokenize(text)
+        counts = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        votes = np.zeros(64, dtype=np.int64)
+        for t, tf in counts.items():
+            h = int(h_of[t])
+            for b in range(64):
+                votes[b] += tf if (h >> b) & 1 else -tf
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        assert got[doc_id] == sig, doc_id
