@@ -585,6 +585,40 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, max_hamming=10, portable_hash=True)
 
 
+def q_create_triples(spark, sf_dir):
+    """Training-triples mining (utility/supervision/triples.py analog):
+    label the BM25 top-50 with tf-top-3 pseudo-qrels, take positives by
+    the reference's greedy slot rule ((2,10),(1,50)), and pair each with
+    5 hash-sampled negatives — the (qid, pos, neg) supervision table a
+    training pipeline consumes."""
+    from colbert_spark.operators.triples import create_triples
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    token_df = analysis.tokenize_docs(docs, id_col="pid", text_col="text",
+                                      maxlen=220)
+    qterms = brute.query_terms(_query_df(spark), 32)
+    tfsum = (
+        token_df.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "pid")
+        .agg(F.sum("tf").alias("tfs"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("tfs"), F.asc("pid"))
+    qrels = (
+        tfsum.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .select("qid", "pid")
+        .withColumn("label", F.lit(1))
+    )
+    ranking = brute.bm25_topk(docs, _query_df(spark), k=50)
+    labeled = (
+        ranking.join(qrels, ["qid", "pid"], "left")
+        .fillna({"label": 0})
+        .select("qid", "pid", "rank", "label")
+    )
+    return create_triples(labeled, positives=((2, 10), (1, 50)), depth=50,
+                          num_negatives=5, portable_hash=True)
+
+
 def q_hop_search(spark, sf_dir):
     """Multi-hop retrieval (Baleen HopSearcher analog, server.hop_search):
     hop 1 retrieves for query 0, the top doc's 5 most-frequent terms
@@ -720,6 +754,7 @@ QUERIES = {
     "rerank_topk": q_rerank_topk,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "create_triples": q_create_triples,
     "hop_search": q_hop_search,
     "search_after_update": q_search_after_update,
     "multimodal_frames": q_multimodal_frames,
@@ -735,6 +770,9 @@ QUERIES = {
 # ---------------------------------------------------------------------------
 
 ORACLE: dict[str, str] = {}
+
+# Portable 60-bit hash — must stay in lockstep with dedup.md5_hash64.
+_SQL_H64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 ORACLE["bm25_top10"] = f"""
 WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
@@ -1242,6 +1280,58 @@ SELECT qid, pid, rank, score FROM (
 ) WHERE rank <= 10
 """
 
+# Replays create_triples(positives=((2,10),(1,50)), depth=50,
+# num_negatives=5, portable_hash=True) over the BM25 top-50 with tf-top-3
+# pseudo-labels: the greedy positive prefix becomes two window functions,
+# negative sampling is the md5-hash order both engines share.
+ORACLE["create_triples"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+tfsum AS (
+  SELECT qt.qid, tf.pid, sum(tf.tf) AS tfs
+  FROM qt JOIN tf USING (term) GROUP BY qt.qid, tf.pid
+),
+qrels AS (
+  SELECT qid, pid FROM (
+    SELECT qid, pid,
+           row_number() OVER (PARTITION BY qid ORDER BY tfs DESC, pid) AS r
+    FROM tfsum
+  ) WHERE r <= 3
+),
+lab AS (
+  SELECT rk.qid, rk.pid, rk.rank,
+         CASE WHEN qr.pid IS NOT NULL THEN 1 ELSE 0 END AS label
+  FROM (SELECT qid, pid, rank FROM ranked WHERE rank <= 50) rk
+  LEFT JOIN qrels qr ON rk.qid = qr.qid AND rk.pid = qr.pid
+),
+posf AS (
+  SELECT qid, pid, rank,
+         CASE WHEN row_number() OVER (PARTITION BY qid ORDER BY rank) - 1
+                   < greatest(CASE WHEN rank <= 10 THEN 2 ELSE 0 END,
+                              CASE WHEN rank <= 50 THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS ok
+  FROM lab WHERE label = 1
+),
+taken AS (
+  SELECT qid, pid AS pos FROM (
+    SELECT qid, pid, ok,
+           coalesce(sum(1 - ok) OVER (PARTITION BY qid ORDER BY rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS bad
+    FROM posf
+  ) WHERE ok = 1 AND bad = 0
+),
+negs AS (
+  SELECT qid, pid AS neg,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY {_SQL_H64.format(x="concat_ws('-', 42, qid, pid)")},
+                    pid) AS hr
+  FROM lab WHERE label = 0
+)
+SELECT t.qid, t.pos, n.neg
+FROM taken t JOIN negs n ON t.qid = n.qid AND n.hr <= 5
+"""
+
 _Q0_TOKEN_VALUES = ", ".join(
     f"('{t}')" for t in dict.fromkeys(analysis.python_tokenize(
         QUERY_SET[0][1], 32))
@@ -1467,10 +1557,6 @@ SELECT qid, vec_id, rank, sim FROM (
   FROM scored
 ) WHERE rank <= 5
 """.replace("{PLANES}", _lsh_plane_values())
-
-# Portable 60-bit hash — must stay in lockstep with dedup.md5_hash64.
-_SQL_H64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
-
 
 def _minhash_perm_values() -> str:
     from colbert_spark.operators.dedup import minhash_perm_constants

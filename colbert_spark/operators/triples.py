@@ -1,0 +1,124 @@
+"""Training-triples mining from labeled rankings — (qid, pos, neg) rows.
+
+Reference semantics from utility/supervision/triples.py:39-72
+(sample_for_query) re-expressed relationally:
+
+- Positives (the greedy slot rule, :53-57): walking label-1 rows in rank
+  order with counter c, a row at rank r is taken iff c < M(r), where
+  M(r) = max{maxBest : maxDepth ≥ r} over the (maxBest, maxDepth) slots.
+  With the reference's nested specs (e.g. "5,50 1,1000") M is
+  NONINCREASING in r, so the takes form a PREFIX of the label-1 rows —
+  which turns the sequential loop into two window functions: a positive
+  index and an all-prior-rows-ok cumulative flag. (Non-nested specs where
+  M increases are rejected — the prefix identity wouldn't hold.)
+- Negatives (:20-36): per positive, num_negatives sampled from the
+  label-0 rows at depth. The reference uses seeded random.sample, which
+  no distributed engine can replay; here sampling = the first
+  num_negatives negatives by a deterministic per-(qid, pid) hash order —
+  uniform over negatives, reproducible at any parallelism, and
+  DuckDB-replayable with the portable md5 hash. `biased=B` mirrors the
+  reference's 50/50 split between the top-B negatives (by rank) and the
+  rest, applied when the rest is at least as large (:30-34).
+- `permissive` mode (rank-positioned extra positives) is not implemented;
+  documented deviation.
+
+Everything is joins + window functions — no per-row Python, no driver
+loop; group state never exceeds `depth` rows per query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from colbert_spark.operators.dedup import md5_hash64
+
+
+def _max_best_expr(positives: tuple[tuple[int, int], ...]):
+    """M(rank) = max(maxBest) over slots whose maxDepth >= rank."""
+    expr = F.lit(0)
+    for max_best, max_depth in positives:
+        expr = F.greatest(
+            expr,
+            F.when(F.col("rank") <= max_depth, F.lit(max_best)).otherwise(0),
+        )
+    return expr
+
+
+def _neg_hash(seed: int, portable_hash: bool):
+    if portable_hash:
+        return md5_hash64(F.concat_ws("-", F.lit(seed), "qid", "pid"))
+    return F.xxhash64(F.lit(seed), "qid", "pid")
+
+
+def create_triples(
+    labeled: DataFrame,
+    positives: tuple[tuple[int, int], ...] = ((5, 50), (1, 1000)),
+    depth: int = 1000,
+    num_negatives: int = 100,
+    biased: int | None = None,
+    seed: int = 42,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """labeled(qid, pid, rank, label∈{0,1}) → triples(qid, pos, neg)."""
+    slots = sorted(positives, key=lambda s: s[1])
+    for (b1, d1), (b2, d2) in zip(slots, slots[1:]):
+        if b2 > b1:
+            raise ValueError(
+                f"positive specs must be nested (deeper slot allows fewer "
+                f"bests): {positives}"
+            )
+    r = labeled.filter(F.col("rank") <= depth)
+
+    pos = r.filter(F.col("label") == 1)
+    w = Window.partitionBy("qid").orderBy("rank")
+    pos = pos.withColumn("_i", F.row_number().over(w) - 1)
+    pos = pos.withColumn("_ok", F.col("_i") < _max_best_expr(positives))
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    pos = pos.withColumn(
+        "_bad_before",
+        F.coalesce(
+            F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).over(wprev), F.lit(0)
+        ),
+    )
+    taken = pos.filter(F.col("_ok") & (F.col("_bad_before") == 0)).select(
+        "qid", F.col("pid").alias("pos")
+    )
+
+    negs = r.filter(F.col("label") == 0).select("qid", "pid", "rank")
+    horder = Window.partitionBy("qid").orderBy(
+        _neg_hash(seed, portable_hash), "pid"
+    )
+    if biased is None:
+        sel = (
+            negs.withColumn("_h", F.row_number().over(horder))
+            .filter(F.col("_h") <= num_negatives)
+        )
+    else:
+        if num_negatives % 2:
+            raise ValueError("biased sampling needs an even num_negatives")
+        nrank = Window.partitionBy("qid").orderBy("rank")
+        negs = negs.withColumn("_nr", F.row_number().over(nrank))
+        half = num_negatives // 2
+        # reference guard (:32-34): bias only when the tail is at least as
+        # large as the top-B pool; otherwise plain sampling
+        counts = negs.groupBy("qid").agg(
+            F.sum(F.when(F.col("_nr") <= biased, 1).otherwise(0)).alias("n_top"),
+            F.sum(F.when(F.col("_nr") > biased, 1).otherwise(0)).alias("n_rest"),
+        )
+        negs = negs.join(F.broadcast(counts), "qid")
+        use_bias = (F.col("n_top") < F.col("n_rest"))
+        horder_grp = Window.partitionBy(
+            "qid", F.col("_nr") <= biased
+        ).orderBy(_neg_hash(seed, portable_hash), "pid")
+        negs = negs.withColumn("_hg", F.row_number().over(horder_grp))
+        negs = negs.withColumn("_h", F.row_number().over(horder))
+        sel = negs.filter(
+            F.when(
+                use_bias,
+                F.when(F.col("_nr") <= biased, F.col("_hg") <= half)
+                .otherwise(F.col("_hg") <= num_negatives - half),
+            ).otherwise(F.col("_h") <= num_negatives)
+        )
+    sel = sel.select("qid", F.col("pid").alias("neg"))
+    return taken.join(sel, "qid").select("qid", "pos", "neg")

@@ -377,3 +377,58 @@ def test_simhash_jvm_fold_matches_numpy_reference(spark):
         if sig >= 1 << 63:
             sig -= 1 << 64
         assert got[doc_id] == sig, doc_id
+
+
+def test_create_triples_reference_semantics(spark):
+    """Positive selection must equal an independent replay of the
+    reference's greedy slot rule (utility/supervision/triples.py:53-57);
+    negatives: exactly num_negatives per query from the label-0 pool,
+    deterministic under repartitioning."""
+    from colbert_spark.operators.triples import create_triples
+
+    rows = []
+    # qid 1: positives at ranks 2, 4, 11, 30; rest negatives (depth 30)
+    for rank in range(1, 31):
+        rows.append((1, 100 + rank, rank, 1 if rank in (2, 4, 11, 30) else 0))
+    # qid 2: positives beyond every slot's best budget
+    for rank in range(1, 16):
+        rows.append((2, 200 + rank, rank, 1 if rank <= 5 else 0))
+    labeled = spark.createDataFrame(
+        rows, "qid long, pid long, rank int, label int"
+    )
+    specs = ((2, 10), (1, 25))
+
+    def replay(qrows):
+        taken, c = [], 0
+        for pid, rank, label in sorted(qrows, key=lambda x: x[1]):
+            if not label:
+                continue
+            m = max([b for b, d in specs if rank <= d], default=0)
+            if c < m:
+                taken.append(pid)
+                c += 1
+            else:
+                break  # prefix property: once refused, never take again
+        return taken
+
+    out = create_triples(labeled, positives=specs, depth=30,
+                         num_negatives=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], {}).setdefault(r["pos"], set()).add(r["neg"])
+    for qid in (1, 2):
+        qrows = [(p, rk, lb) for q, p, rk, lb in rows if q == qid]
+        expect_pos = set(replay(qrows))
+        assert set(by_q.get(qid, {})) == expect_pos, qid
+        for pos, negs in by_q[qid].items():
+            assert len(negs) == 3
+            neg_pool = {p for p, rk, lb in qrows if lb == 0}
+            assert negs <= neg_pool
+    # same negatives for every positive of a qid (query-level sample)
+    negsets = list(by_q[1].values())
+    assert all(s == negsets[0] for s in negsets)
+    # deterministic under physical layout changes
+    out2 = create_triples(labeled.repartition(16), positives=specs, depth=30,
+                          num_negatives=3).collect()
+    assert sorted((r["qid"], r["pos"], r["neg"]) for r in out) == \
+           sorted((r["qid"], r["pos"], r["neg"]) for r in out2)
