@@ -133,3 +133,40 @@ def docs2passages(docs: DataFrame, id_col: str = "pid", text_col: str = "text",
         )
         .filter(F.col("passage") != "")
     )
+
+
+def load_qas_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """LoTTE/OpenQA qas.jsonl → (qid, question, answer_pids array<long>)
+    (utility/evaluate/evaluate_lotte_rankings.py:30-40 reads qid +
+    answer_pids; utility/utils/qa_loaders.py the train-side analog)."""
+    df = spark.read.json(path)
+    cols = {c.lower(): c for c in df.columns}
+    question = cols.get("question") or cols.get("query")
+    out = df.select(
+        F.col(cols["qid"]).cast("long").alias("qid"),
+        (F.col(question) if question else F.lit(None).cast("string"))
+        .alias("question"),
+        F.col(cols["answer_pids"]).cast("array<long>").alias("answer_pids"),
+    )
+    return out
+
+
+def lotte_success_at_k(ranking: DataFrame, qas: DataFrame, k: int = 5
+                       ) -> DataFrame:
+    """Success@k against answer_pids sets, averaged over ALL judged
+    queries (a judged qid missing from the ranking counts as a miss —
+    evaluate_lotte_rankings.py:31-43). One row: (k, success)."""
+    answers = qas.select("qid", F.explode("answer_pids").alias("pid"))
+    hits = (
+        ranking.filter(F.col("rank") <= k)
+        .join(answers, ["qid", "pid"], "left_semi")
+        .select("qid").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_q = qas.select("qid").distinct().join(hits, "qid", "left").fillna(
+        {"hit": 0}
+    )
+    return per_q.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.avg("hit"), 6).alias("success"),
+    )

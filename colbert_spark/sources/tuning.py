@@ -68,3 +68,28 @@ def split_queries_holdout(queries: DataFrame, holdout: int,
     hold = pos.join(F.broadcast(picked_df), "_pos", "left_semi").drop("_pos")
     main = pos.join(F.broadcast(picked_df), "_pos", "left_anti").drop("_pos")
     return main, hold
+
+
+def sample_minicorpus(
+    collection: DataFrame,
+    ranking: DataFrame,
+    queries: DataFrame,
+    n_queries: int,
+    topk: int = 30,
+    seed: int = 12345,
+) -> tuple[DataFrame, DataFrame]:
+    """(mini_collection, mini_queries): a debugging-scale corpus slice
+    (colbert/utilities/minicorpus.py:11-57 semantics) — sample n_queries
+    query ids (split_queries_holdout's deterministic rule), keep every
+    passage in their top-k rankings. The pid set and sampled qids are
+    broadcast semi-joins; the collection is never collected."""
+    _, sampled_q = split_queries_holdout(queries, holdout=n_queries,
+                                         seed=seed)
+    kept_pids = (
+        ranking.filter(F.col("rank") <= topk)
+        .join(F.broadcast(sampled_q.select("qid")), "qid", "left_semi")
+        .select("pid").distinct()
+    )
+    mini_collection = collection.join(F.broadcast(kept_pids), "pid",
+                                      "left_semi")
+    return mini_collection, sampled_q

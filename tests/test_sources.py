@@ -271,3 +271,46 @@ def test_split_queries_holdout(spark):
     expected = {sorted(i * 3 for i in range(50))[p]
                 for p in _random.Random(12345).sample(range(50), 10)}
     assert hold_ids == expected
+
+
+def test_lotte_qas_and_success_at_k(spark, tmp_path):
+    from colbert_spark.sources.queries import load_qas_jsonl, lotte_success_at_k
+
+    qas_path = tmp_path / "qas.jsonl"
+    qas_path.write_text("\n".join([
+        json.dumps({"qid": 1, "question": "a?", "answer_pids": [10, 11]}),
+        json.dumps({"qid": 2, "question": "b?", "answer_pids": [20]}),
+        json.dumps({"qid": 3, "question": "c?", "answer_pids": [30]}),
+    ]))
+    qas = load_qas_jsonl(spark, str(qas_path))
+    assert {r["qid"]: sorted(r["answer_pids"]) for r in qas.collect()} == {
+        1: [10, 11], 2: [20], 3: [30]}
+    ranking = spark.createDataFrame(
+        [(1, 11, 1), (1, 99, 2),      # hit at rank 1
+         (2, 98, 1), (2, 20, 2)],     # hit at rank 2 (outside k=1)
+        "qid long, pid long, rank int",  # qid 3 missing entirely → miss
+    )
+    row = lotte_success_at_k(ranking, qas, k=1).first()
+    assert row["success"] == pytest.approx(1 / 3, abs=1e-6)
+    row5 = lotte_success_at_k(ranking, qas, k=5).first()
+    assert row5["success"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_sample_minicorpus(spark):
+    from colbert_spark.sources.tuning import sample_minicorpus, split_queries_holdout
+
+    collection = spark.createDataFrame(
+        [(p, f"doc {p}") for p in range(100)], "pid long, text string")
+    queries = spark.createDataFrame(
+        [(q, f"q {q}") for q in range(20)], "qid long, text string")
+    ranking = spark.createDataFrame(
+        [(q, q * 5 + r, r + 1) for q in range(20) for r in range(3)],
+        "qid long, pid long, rank int")
+    mini_c, mini_q = sample_minicorpus(collection, ranking, queries,
+                                       n_queries=4, topk=2)
+    qids = {r["qid"] for r in mini_q.collect()}
+    assert len(qids) == 4
+    _, expect_q = split_queries_holdout(queries, holdout=4)
+    assert qids == {r["qid"] for r in expect_q.collect()}
+    pids = {r["pid"] for r in mini_c.collect()}
+    assert pids == {q * 5 + r for q in qids for r in range(2)}
