@@ -170,3 +170,23 @@ def lotte_success_at_k(ranking: DataFrame, qas: DataFrame, k: int = 5
         F.lit(k).cast("long").alias("k"),
         F.round(F.avg("hit"), 6).alias("success"),
     )
+
+
+def load_examples_jsonl(spark: SparkSession, path: str,
+                        nway: int | None = None) -> DataFrame:
+    """Training-examples JSONL → (qid, pid_pos, pid_negs array<long>).
+    Each line is a JSON array [qid, pid+, pid−, ...] truncated to nway+1
+    entries (colbert/data/examples.py:23-32). The flat-array lines parse
+    as array<long> via the text reader + from_json — no schema inference
+    pass over mixed-length arrays."""
+    raw = spark.read.text(path).select(
+        F.from_json(F.col("value"), "array<long>").alias("a")
+    )
+    if nway is not None:
+        raw = raw.select(F.slice("a", 1, nway + 1).alias("a"))
+    return raw.select(
+        F.col("a")[0].alias("qid"),
+        F.col("a")[1].alias("pid_pos"),
+        F.slice("a", 3, F.greatest(F.size("a") - 2, F.lit(0)))
+        .alias("pid_negs"),
+    )

@@ -314,3 +314,20 @@ def test_sample_minicorpus(spark):
     assert qids == {r["qid"] for r in expect_q.collect()}
     pids = {r["pid"] for r in mini_c.collect()}
     assert pids == {q * 5 + r for q in qids for r in range(2)}
+
+
+def test_load_examples_jsonl(spark, tmp_path):
+    from colbert_spark.sources.queries import load_examples_jsonl
+
+    p = tmp_path / "triples.jsonl"
+    p.write_text("\n".join([
+        "[1, 10, 20, 21, 22]",
+        "[2, 30, 40]",
+    ]))
+    rows = {r["qid"]: r for r in load_examples_jsonl(spark, str(p)).collect()}
+    assert rows[1]["pid_pos"] == 10 and rows[1]["pid_negs"] == [20, 21, 22]
+    assert rows[2]["pid_pos"] == 30 and rows[2]["pid_negs"] == [40]
+    # nway truncation (examples.py:24: keep nway+1 entries)
+    rows2 = {r["qid"]: r for r in
+             load_examples_jsonl(spark, str(p), nway=2).collect()}
+    assert rows2[1]["pid_negs"] == [20]
