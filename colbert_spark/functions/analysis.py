@@ -85,56 +85,131 @@ def tokenize_docs(
     )
 
 
+def _tokenize_batch_re(texts, maxlen: int | None):
+    """(doclens, doc_idx, flat terms object array) via Python re — the
+    reference kernel the vectorized path is equivalence-tested against."""
+    import re
+
+    import numpy as np
+
+    pattern = re.compile(TOKEN_SPLIT_RE)
+    toks_per_doc = [
+        [t for t in pattern.split(s.lower()) if t][:maxlen]
+        if isinstance(s, str) else []
+        for s in texts
+    ]
+    doclens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                          count=len(toks_per_doc))
+    doc_idx = np.repeat(np.arange(len(toks_per_doc)), doclens)
+    flat = np.array([t for toks in toks_per_doc for t in toks], dtype=object)
+    return doclens, doc_idx, flat
+
+
+def _tokenize_batch_pyarrow(texts, maxlen: int | None):
+    """Same output as _tokenize_batch_re, computed C-side for ASCII rows:
+    Arrow RE2 regex split + lowercase, numpy for per-doc truncation
+    (~4× the Python kernel on ASCII web text). Non-ASCII rows take the
+    Python kernel — full vs simple Unicode lowercasing diverges on a few
+    codepoints (e.g. U+0130 İ), and the tokenizer invariant is str.lower
+    ≡ JVM lower; ASCII is unambiguous everywhere. Equivalence-pytested
+    (incl. the İ case)."""
+    import numpy as np
+
+    non_ascii = [i for i, t in enumerate(texts)
+                 if isinstance(t, str) and not t.isascii()]
+    if non_ascii:
+        na_set = set(non_ascii)
+        idx_a = np.array([i for i in range(len(texts)) if i not in na_set],
+                         dtype=np.int64)
+        idx_r = np.array(non_ascii, dtype=np.int64)
+        dl_a, di_a, f_a = _tokenize_batch_pyarrow(
+            [texts[i] for i in idx_a], maxlen)
+        dl_r, di_r, f_r = _tokenize_batch_re(
+            [texts[i] for i in idx_r], maxlen)
+        doclens = np.zeros(len(texts), dtype=np.int64)
+        doclens[idx_a] = dl_a
+        doclens[idx_r] = dl_r
+        doc_idx = np.concatenate([idx_a[di_a], idx_r[di_r]])
+        flat = np.concatenate([f_a, f_r]) if (f_a.size or f_r.size) else f_a
+        return doclens, doc_idx, flat
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string())
+    splits = pc.split_pattern_regex(pc.utf8_lower(arr), TOKEN_SPLIT_RE)
+    flat_a = pc.list_flatten(splits)
+    parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat_a, "").to_numpy(zero_copy_only=False)
+    # docs with NO list entry (null text) never appear in parents; empty
+    # strings are dropped by the mask
+    parents = parents[keep]
+    flat_a = flat_a.filter(pa.array(keep))
+    if maxlen is not None and parents.size:
+        # per-doc running position (parents is nondecreasing)
+        change = np.flatnonzero(np.diff(parents)) + 1
+        starts = np.zeros(parents.size, dtype=np.int64)
+        starts[change] = change
+        np.maximum.accumulate(starts, out=starts)
+        pos = np.arange(parents.size, dtype=np.int64) - starts
+        trunc = pos < maxlen
+        parents = parents[trunc]
+        flat_a = flat_a.filter(pa.array(trunc))
+    n_docs = len(texts)
+    doclens = np.bincount(parents, minlength=n_docs).astype(np.int64)
+    flat = np.asarray(flat_a.to_pandas(), dtype=object)
+    return doclens, parents, flat
+
+
 def tokenize_docs_arrow(
     docs: DataFrame,
     id_col: str = "pid",
     text_col: str = "text",
     maxlen: int | None = None,
+    impl: str = "pyarrow",
 ) -> DataFrame:
     """Shuffle-free (id, term, tf, doclen) via Arrow mapInPandas.
 
     Same output as tokenize_docs, different physical plan: a doc's tokens
     are row-local, so per-doc tf needs NO exchange — the kernel tokenizes a
-    batch (Python regex ≡ the JVM/DuckDB rule, golden-tested) and counts
-    (doc, term) pairs with one numpy unique. This removes the token-level
+    batch (Arrow RE2 split ≡ Python re ≡ the JVM/DuckDB rule,
+    golden + equivalence tested) and counts (doc, term) pairs with one
+    dictionary-encode + numpy unique. This removes the token-level
     shuffle entirely; the index build's only remaining corpus-sized
     exchange is the repartition-by-(term, salt) that builds postings.
-    Preferred for builds; the relational tokenize_docs stays for plans that
-    must be pure Catalyst expressions.
+    Preferred for builds; the relational tokenize_docs stays for plans
+    that must be pure Catalyst expressions.
     """
-    import re
-
     from collections.abc import Iterator as _It
 
-    pattern = re.compile(TOKEN_SPLIT_RE)
+    batch_fn = (_tokenize_batch_pyarrow if impl == "pyarrow"
+                else _tokenize_batch_re)
 
     def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        import numpy as np
+        import pyarrow as pa
+
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            toks_per_doc = [
-                [t for t in pattern.split(s.lower()) if t][:maxlen]
-                if isinstance(s, str) else []
-                for s in pdf[text_col]
-            ]
-            import numpy as np
-
-            doclens = np.fromiter((len(t) for t in toks_per_doc),
-                                  dtype=np.int64, count=len(toks_per_doc))
-            if doclens.sum() == 0:
+            doclens, doc_idx, flat = batch_fn(list(pdf[text_col]), maxlen)
+            if flat.size == 0:
                 continue
-            doc_idx = np.repeat(np.arange(len(toks_per_doc)), doclens)
-            flat = np.array(
-                [t for toks in toks_per_doc for t in toks], dtype=object
-            )
-            key = pd.MultiIndex.from_arrays([doc_idx, flat])
-            counts = pd.Series(1, index=key).groupby(level=[0, 1]).sum()
-            out_doc = counts.index.get_level_values(0).to_numpy()
+            # (doc, term) counting: dictionary-encode terms C-side, then
+            # one numpy unique over a combined int64 key
+            enc = pa.array(flat, type=pa.string()).dictionary_encode()
+            codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                               dtype=np.int64)
+            vocab = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+            key = doc_idx.astype(np.int64) * len(vocab) + codes
+            ukey, tf = np.unique(key, return_counts=True)
+            out_doc = ukey // len(vocab)
+            out_code = ukey % len(vocab)
             yield pd.DataFrame(
                 {
                     id_col: ids[out_doc],
                     "doclen": doclens[out_doc],
-                    "term": counts.index.get_level_values(1).to_numpy(),
-                    "tf": counts.to_numpy().astype("int64"),
+                    "term": vocab[out_code],
+                    "tf": tf.astype("int64"),
                 }
             )
 

@@ -81,3 +81,29 @@ def test_arrow_tokenize_equals_relational(spark):
                    .select("pid", "term", "doclen", "tf").collect()))
     assert len(a) == len(b)
     assert set(a) == set(b)
+
+
+def test_tokenize_kernels_equivalent_including_unicode():
+    """The vectorized Arrow kernel must equal the Python-re kernel on
+    every input class, including the Unicode full-vs-simple lowercasing
+    trap (U+0130 routes through the re kernel)."""
+    from collections import Counter
+
+    from colbert_spark.functions.analysis import (
+        _tokenize_batch_pyarrow,
+        _tokenize_batch_re,
+    )
+
+    cases = ["hello world hello", "", None, "   !!!   ",
+             "Grüße aus MÜNCHEN — café ÉTÉ", "ΑΒΓ ΔΕΖ αβγ",
+             "İstanbul I ı", "mixed123 and-hyphens_underscores",
+             "a" * 3000 + " b c",
+             " ".join(f"t{i % 7}" for i in range(500))]
+
+    def norm(dl, di, flat):
+        return tuple(dl), Counter(zip(di.tolist(), flat.tolist()))
+
+    for maxlen in (None, 1, 3, 220):
+        a = norm(*_tokenize_batch_re(cases, maxlen))
+        b = norm(*_tokenize_batch_pyarrow(cases, maxlen))
+        assert a == b, maxlen
