@@ -113,9 +113,17 @@ class Indexer:
             )
             .collect()[0]
         )
-        num_docs, avgdl = int(row["n"]), float(row["avgdl"])
-        n_terms, n_term_ids = row["n_terms"], row["n_term_ids"]
-        num_postings = row["num_postings"]
+        num_docs = int(row["n"])
+        if num_docs == 0:
+            raise ValueError(
+                "cannot index an empty collection (0 documents) — check the "
+                "input filter/path"
+            )
+        # a non-empty corpus can still tokenize to nothing (e.g. binary-only
+        # pages): build an empty-postings index; searches return no rows
+        avgdl = float(row["avgdl"] or 0.0)
+        n_terms, n_term_ids = row["n_terms"] or 0, row["n_term_ids"] or 0
+        num_postings = row["num_postings"] or 0
         if n_terms != n_term_ids:  # xxhash64 collision — fail loudly
             raise RuntimeError(
                 f"term_id hash collision: {n_terms} terms → {n_term_ids} ids"
@@ -160,7 +168,10 @@ class Indexer:
         # beyond _OBSERVE_MAX_BUCKETS fall back to one column-pruned
         # read-back pass (never touches the binary posting columns).
         obs = None
-        if len(todo) <= self._OBSERVE_MAX_BUCKETS:
+        # Observation.get asserts if the write executed zero tasks (a
+        # corpus that tokenizes to nothing) — skip observe and emit
+        # all-empty manifest rows instead
+        if num_postings > 0 and len(todo) <= self._OBSERVE_MAX_BUCKETS:
             from pyspark.sql import Observation
 
             obs = Observation("bucket_metrics")
@@ -220,7 +231,13 @@ class Indexer:
                         "num_postings", "bytes_written", "wall_ms", "status")
                 .collect()
             ]
-        if obs is not None:
+        if num_postings == 0:
+            # nothing was written; the postings dir has no parquet footers
+            # to read back either
+            new_rows = [
+                (int(bkt), "empty", 0, 0, 0, wall_ms, "ok") for bkt in todo
+            ]
+        elif obs is not None:
             vals = obs.get
             new_rows = [
                 (

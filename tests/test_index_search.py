@@ -125,3 +125,27 @@ def test_auto_mode_selects_and_matches(spark, built):
         assert forced == gather
     finally:
         searcher2._AUTO_SCATTER_QUERIES = old
+
+
+def test_degenerate_corpora(spark, tmp_path):
+    """Empty collection → clear ValueError; a corpus that tokenizes to
+    nothing (binary-only/punctuation pages) builds an empty-postings
+    index and searches cleanly."""
+    import pytest as _pytest
+
+    from colbert_spark.plans.config import ColBERTConfig
+    from colbert_spark.plans.indexer import Indexer
+    from colbert_spark.plans.searcher import Searcher
+
+    cfg = ColBERTConfig(index_root=str(tmp_path / "idx"),
+                        index_partitions=8, shuffle_partitions=4)
+    empty = spark.createDataFrame([], "pid long, text string")
+    with _pytest.raises(ValueError, match="empty collection"):
+        Indexer(cfg).index("empty", empty, overwrite=True)
+
+    punct = spark.createDataFrame(
+        [(i, "!!! ... ???") for i in range(5)], "pid long, text string")
+    Indexer(cfg).index("punct", punct, overwrite=True)
+    s = Searcher("punct", spark, cfg)
+    assert s.search("anything", k=3) == ([], [], [])
+    assert s.num_docs == 5 and s.avgdl == 0.0
