@@ -102,7 +102,9 @@ class Indexer:
         term_agg_df = builder.term_agg(token_df).persist()
         row = (
             doc_stats_df.agg(
-                F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("pid").alias("n_pids"),
+                F.avg("doclen").alias("avgdl"),
             )
             .crossJoin(
                 term_agg_df.agg(
@@ -118,6 +120,14 @@ class Indexer:
             raise ValueError(
                 "cannot index an empty collection (0 documents) — check the "
                 "input filter/path"
+            )
+        if int(row["n_pids"]) != num_docs:
+            # duplicate pids would silently merge two docs' postings
+            # (reference asserts pid == line index, loaders.py:166)
+            raise ValueError(
+                f"collection pids must be unique: {num_docs} rows, "
+                f"{int(row['n_pids'])} distinct pids "
+                "(use sources.collection.assign_pids)"
             )
         # a non-empty corpus can still tokenize to nothing (e.g. binary-only
         # pages): build an empty-postings index; searches return no rows

@@ -149,3 +149,17 @@ def test_degenerate_corpora(spark, tmp_path):
     s = Searcher("punct", spark, cfg)
     assert s.search("anything", k=3) == ([], [], [])
     assert s.num_docs == 5 and s.avgdl == 0.0
+
+
+def test_duplicate_pids_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from colbert_spark.plans.config import ColBERTConfig
+    from colbert_spark.plans.indexer import Indexer
+
+    cfg = ColBERTConfig(index_root=str(tmp_path / "idx"),
+                        index_partitions=8, shuffle_partitions=4)
+    dups = spark.createDataFrame(
+        [(1, "a b c"), (1, "d e f"), (2, "g h i")], "pid long, text string")
+    with _pytest.raises(ValueError, match="pids must be unique"):
+        Indexer(cfg).index("dups", dups, overwrite=True)
