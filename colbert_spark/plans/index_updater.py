@@ -152,6 +152,9 @@ class IndexUpdater:
         merged_stats.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(self.catalog.path("doc_stats"))
         Path(tmp).rename(self.catalog.path("doc_stats"))
+        # the rename mutated files behind Spark's back — drop any cached
+        # listings so same-session readers see the swapped table
+        self.spark.catalog.refreshByPath(str(self.catalog.root))
 
     def persist_to_disk(self) -> None:
         """No-op: every mutation above is already durable (the reference
