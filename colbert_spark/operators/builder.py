@@ -205,10 +205,10 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
     ss = SparkSession.getActiveSession()
     blocks = catalog.read(ss, "postings")
     term_dict = catalog.read(ss, "term_dict").select("term_id", "idf")
-    try:
+    if catalog.table_exists("tombstones"):
         tomb_rows = catalog.read(ss, "tombstones").collect()
         tombs = np.sort(np.array([r["pid"] for r in tomb_rows], dtype=np.int64))
-    except Exception:
+    else:
         tombs = np.empty(0, dtype=np.int64)
 
     kernel = _make_block_builder(config.block_size, avgdl, config.k1, config.b)
@@ -266,3 +266,6 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
     for t in ("tombstones",):
         if Path(catalog.path(t)).exists():
             shutil.rmtree(catalog.path(t))
+    # the rename/deletes mutated files behind Spark's back — drop cached
+    # listings so same-session readers see the compacted segment set
+    ss.catalog.refreshByPath(str(catalog.root))
