@@ -206,3 +206,49 @@ def test_stream_exact_dedup(spark, tmp_path):
     assert len(kept) == 3
     assert 2 in kept and 4 in kept
     assert len({0, 1, 3} & set(kept)) == 1
+
+
+def test_sessionize_stream_matches_batch_with_ties(spark, tmp_path):
+    """Stream/batch parity on duplicate (user_id, ts) events — the stream
+    kernel's (ts, event_id) mergesort must agree with the batch window's
+    tiebreak for closed sessions."""
+    import datetime as dt
+
+    from colbert_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, 1.0), (1, t0, 1, 2.0),                      # tie
+        (2, t0 + dt.timedelta(minutes=45), 1, 3.0),            # new session
+        (3, t0 + dt.timedelta(minutes=45), 1, 4.0),            # tie
+        (4, t0 + dt.timedelta(minutes=120), 1, 5.0),           # closes prior
+        (5, t0, 2, 1.0), (6, t0, 2, 1.5),                      # tie user 2
+        (7, t0 + dt.timedelta(minutes=90), 2, 2.5),            # closes prior
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    batch = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_batch(ev).collect()
+    }
+    src = tmp_path / "tie_src"
+    ev.orderBy("ts", "event_id").coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory").queryName("tie_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "tie_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tie_sessions").collect()
+    }
+    # closed sessions must match the batch result exactly
+    for key, val in streamed.items():
+        assert batch[key] == val, key
+    # each user's final (open) session is the only one allowed to be absent
+    assert len(streamed) >= len(batch) - 2
