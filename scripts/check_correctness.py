@@ -71,9 +71,14 @@ def duck_types(arrow_tbl):
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="correctness", cpus=16, shuffle_partitions=16)
+    # override parallelism to evidence determinism across layouts
+    cpus = int(os.environ.get("CHECK_CPUS", "16"))
+    spark = get_spark(app_name="correctness", cpus=cpus,
+                      shuffle_partitions=cpus)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
