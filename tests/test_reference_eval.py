@@ -64,3 +64,33 @@ def test_self_consistency_mrr_is_1(spark, setup):
     ranking = Searcher("ref", spark, cfg).search_all(queries, k=10).df
     mrr = metrics.mrr_at_k(ranking, qrels, 10).first()["mrr"]
     assert mrr == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rank_identity_at_10k_docs(spark, tmp_path_factory):
+    """Scale spot check: engine == pure-Python oracle at 10k docs / 30
+    queries (5× the standard fixture) — catches anything that only shows
+    up with more blocks, salts, and buckets in play."""
+    cfg = ColBERTConfig(
+        index_root=str(tmp_path_factory.mktemp("idx10k")),
+        index_partitions=16, max_group_postings=500,
+        shuffle_partitions=16,
+    )
+    docs_pdf = gen_docs_pdf(np.arange(10_000))
+    docs_pdf["pid"] = np.arange(10_000)
+    docs = spark.createDataFrame(docs_pdf[["pid", "text"]])
+    Indexer(cfg).index("tenk", docs, overwrite=True)
+    searcher = Searcher("tenk", spark, cfg)
+    queries_pdf = gen_queries_pdf(np.arange(30))
+    queries = spark.createDataFrame(queries_pdf[["qid", "text"]])
+    got = {}
+    for r in searcher.search_all(queries, k=10).df.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["pid"], r["score"]))
+    exp = oracle_topk(
+        dict(zip(docs_pdf["pid"], docs_pdf["text"])),
+        dict(zip(queries_pdf["qid"], queries_pdf["text"])),
+        k=10,
+    )
+    for qid, erows in exp.items():
+        grows = sorted(got.get(qid, []))
+        assert [(r, p, s) for r, p, s in grows] == \
+               [(r, p, s) for p, r, s in erows], f"qid={qid}"
