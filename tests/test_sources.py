@@ -331,3 +331,45 @@ def test_load_examples_jsonl(spark, tmp_path):
     rows2 = {r["qid"]: r for r in
              load_examples_jsonl(spark, str(p), nway=2).collect()}
     assert rows2[1]["pid_negs"] == [20]
+
+
+def test_docs2passages_wrap_property(spark):
+    """Property check across random (n_words, nwords, overlap): every
+    passage has exactly nwords words (or n_words when the doc is short),
+    and passage count equals the reference's offset arithmetic."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from colbert_spark.sources.queries import docs2passages_wrap
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(n=st.integers(0, 120), nwords=st.integers(2, 40),
+           overlap=st.integers(0, 39))
+    def collect(n, nwords, overlap):
+        if overlap < nwords:
+            cases.append((n, nwords, overlap))
+
+    collect()
+    # one Spark job for all sampled cases (per-case jobs would be slow)
+    by_params = {}
+    for i, (n, nwords, overlap) in enumerate(cases):
+        by_params.setdefault((nwords, overlap), []).append((i, n))
+    for (nwords, overlap), items in by_params.items():
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(n))) for i, n in items],
+            "pid long, text string",
+        )
+        rows = docs2passages_wrap(docs, nwords=nwords,
+                                  overlap=overlap).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], []).append(len(r["passage"].split()))
+        for i, n in items:
+            expect_cnt = len(range(0, n - overlap, nwords - overlap))
+            lens = got.get(i, [])
+            assert len(lens) == expect_cnt, (n, nwords, overlap)
+            for ln in lens:
+                assert ln == (nwords if n > nwords else n), (n, nwords, overlap)
