@@ -489,6 +489,18 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding-window rollup (1-hour windows every 30 minutes): each event
+    contributes to two windows; one shuffle, windows expanded JVM-side."""
+    from colbert_spark.streaming.ingest import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_counts(ev, window="1 hour",
+                                 slide="30 minutes").select(
+        "window_start", "event_type", "n", "sum_value"
+    )
+
+
 def q_events_sessionized(spark, sf_dir):
     """Gap-based sessionization (custom stateful-operator semantics; batch
     form via window functions — the streaming twin lives in
@@ -749,6 +761,7 @@ QUERIES = {
     "docs2passages": q_docs2passages,
     "docs2passages_overlap": q_docs2passages_overlap,
     "events_windowed": q_events_windowed,
+    "events_sliding": q_events_sliding,
     "events_sessionized": q_events_sessionized,
     "search_lang_filtered": q_search_lang_filtered,
     "rerank_topk": q_rerank_topk,
@@ -1212,6 +1225,20 @@ ORACLE["events_windowed"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+# 1h windows sliding every 30min: an event at ts belongs to windows
+# starting at bucket(ts, 30min) and bucket(ts, 30min) − 30min
+ORACLE["events_sliding"] = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE
+           AS window_start,
+         event_type, value
+  FROM events, unnest(range(0, 2)) AS u(k)
+)
+SELECT window_start, event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM expanded GROUP BY window_start, event_type
 """
 
 ORACLE["events_sessionized"] = """

@@ -66,9 +66,13 @@ def windowed_event_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Late-data-safe tumbling-window rollup over a (streaming or batch)
-    events table: (window_start, window_end, key, n, sum_value).
+    """Late-data-safe windowed rollup over a (streaming or batch) events
+    table: (window_start, window_end, key, n, sum_value). Tumbling by
+    default; pass slide (e.g. "30 minutes") for sliding windows — each
+    event then lands in window/slide overlapping windows (Spark expands
+    them; the aggregation stays one shuffle).
 
     On a stream, the watermark bounds state: windows older than the
     watermark are finalized and evicted (append mode emits exactly once).
@@ -80,8 +84,10 @@ def windowed_event_counts(
         # watermarks require TIMESTAMP (not NTZ); session TZ pinned to UTC
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         df = df.withWatermark(ts_col, watermark)
+    win = (F.window(F.col(ts_col), window, slide) if slide
+           else F.window(F.col(ts_col), window))
     return (
-        df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        df.groupBy(win.alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
