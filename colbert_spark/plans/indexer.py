@@ -180,8 +180,11 @@ class Indexer:
         obs = None
         # Observation.get asserts if the write executed zero tasks (a
         # corpus that tokenizes to nothing) — skip observe and emit
-        # all-empty manifest rows instead
-        if num_postings > 0 and len(todo) <= self._OBSERVE_MAX_BUCKETS:
+        # all-empty manifest rows instead. A resume against a COMPLETE
+        # manifest (todo == []) must also skip: observe() rejects an empty
+        # aggregate list, and there is nothing to write anyway — the re-run
+        # is a no-op that just refreshes metadata.json.
+        if num_postings > 0 and todo and len(todo) <= self._OBSERVE_MAX_BUCKETS:
             from pyspark.sql import Observation
 
             obs = Observation("bucket_metrics")
@@ -197,34 +200,29 @@ class Indexer:
                 ]
             blocks = blocks.observe(obs, *aggs)
 
-        mode = "append" if done else "overwrite"
-        (
-            blocks.repartition(cfg.index_partitions, "bucket")
-            .sortWithinPartitions("term_id", "block_id")
-            .write.mode(mode)
-            .partitionBy("bucket")
-            .parquet(cat.path("postings"))
-        )
+        if todo:
+            mode = "append" if done else "overwrite"
+            (
+                blocks.repartition(cfg.index_partitions, "bucket")
+                .sortWithinPartitions("term_id", "block_id")
+                .write.mode(mode)
+                .partitionBy("bucket")
+                .parquet(cat.path("postings"))
+            )
 
         # ---- finalize: stats tables, manifest, metadata -------------------
-        # the three stats tables are independent small writes; submit them
-        # concurrently so their fixed per-job latencies overlap (Spark's
-        # scheduler handles multi-threaded action submission)
+        # all four small finalize writes (term_dict, doc_stats, corpus_stats,
+        # manifest) are independent once the postings write has landed —
+        # submit them in ONE thread pool so their fixed per-job scheduling
+        # latencies overlap instead of serializing (~4 driver actions → ~1
+        # action's worth of wall time; this is the serial term that erodes
+        # N→4N efficiency)
         from concurrent.futures import ThreadPoolExecutor
 
         stats_df = spark.createDataFrame(
             [(num_docs, avgdl, int(n_terms), int(num_postings))],
             "num_docs long, avg_doclen double, num_terms long, num_postings long",
         )
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futures = [
-                pool.submit(cat.write, term_dict, "term_dict"),
-                pool.submit(cat.write, doc_stats_df, "doc_stats"),
-                pool.submit(cat.write, stats_df, "corpus_stats"),
-            ]
-            for fut in futures:
-                fut.result()
-
         wall_ms = int((time.monotonic() - t0) * 1000)
         # manifest: every bucket gets a row (resume contract). Rows for
         # buckets built THIS run come from the write's observed metrics;
@@ -241,7 +239,9 @@ class Indexer:
                         "num_postings", "bytes_written", "wall_ms", "status")
                 .collect()
             ]
-        if num_postings == 0:
+        if not todo:
+            new_rows = []
+        elif num_postings == 0:
             # nothing was written; the postings dir has no parquet footers
             # to read back either
             new_rows = [
@@ -294,7 +294,15 @@ class Indexer:
                 for bkt in todo
             ]
         manifest = spark.createDataFrame(old_rows + new_rows, MANIFEST_SCHEMA)
-        cat.write(manifest, "manifest")
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(cat.write, term_dict, "term_dict"),
+                pool.submit(cat.write, doc_stats_df, "doc_stats"),
+                pool.submit(cat.write, stats_df, "corpus_stats"),
+                pool.submit(cat.write, manifest, "manifest"),
+            ]
+            for fut in futures:
+                fut.result()
         cat.write_json(
             "metadata.json",
             {

@@ -79,3 +79,34 @@ def test_resume_rebuilds_only_missing_buckets(spark, env):
             new_manifest[b]["input_fingerprint"]
             == full_manifest[b]["input_fingerprint"]
         )
+
+
+def test_resume_with_complete_manifest_is_noop(spark, env):
+    """overwrite='resume' against a fully-built index (todo == []) must be
+    an idempotent no-op: no crash, no bucket rebuilt, same answers."""
+    cfg, docs, queries = env
+    Indexer(cfg).index("r2", docs, overwrite=True)
+    cat = IndexCatalog(str(Path(cfg.index_root) / "r2"))
+    clean = _ranking_named(spark, cfg, queries, "r2")
+    before = {
+        r["bucket"]: r["input_fingerprint"]
+        for r in cat.read(spark, "manifest").collect()
+    }
+
+    Indexer(cfg).index("r2", docs, overwrite="resume")
+
+    meta = cat.read_json("metadata.json")
+    assert meta["buckets_built_this_run"] == []
+    after = {
+        r["bucket"]: r["input_fingerprint"]
+        for r in cat.read(spark, "manifest").collect()
+    }
+    assert after == before
+    assert _ranking_named(spark, cfg, queries, "r2") == clean
+
+
+def _ranking_named(spark, cfg, queries, name):
+    return sorted(
+        map(tuple,
+            Searcher(name, spark, cfg).search_all(queries, k=10).df.collect())
+    )
