@@ -101,6 +101,14 @@ def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
         term_id = int(pdf["term_id"].iloc[0])
         salt = int(pdf["salt"].iloc[0])
         idf = float(pdf["idf"].iloc[0])
+        # a pid hashes to exactly ONE salt group, so duplicate postings for
+        # a (term, pid) — corrupted/overlapping segments — always collide
+        # HERE, sorted-adjacent (impossible in a fresh build; the guard
+        # protects the compaction path, which reuses this kernel)
+        if pids.size > 1 and bool(np.any(pids[1:] == pids[:-1])):
+            raise ValueError(
+                f"term {term_id}: duplicate pids in segments"
+            )
 
         # exact per-posting BM25 term scores (float64) → block max
         tff = tfs.astype(np.float64)
@@ -168,6 +176,17 @@ def build_postings(
         "term_id", "pid", "tf", "doclen", "idf",
         F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),
     )
+    return _salted_blockify(enriched, avgdl, config)
+
+
+def _salted_blockify(enriched: DataFrame, avgdl: float,
+                     config: ColBERTConfig) -> DataFrame:
+    """(term_id, pid, tf, doclen, idf, salt) → bounded-group posting blocks.
+
+    Shared by the fresh build and compaction: ONE repartition on
+    (term_id, salt), the numpy block kernel per group, bucket column for
+    partition-pruned storage.
+    """
     kernel = _make_block_builder(config.block_size, avgdl, config.k1, config.b)
     blocks = enriched.repartition(
         config.shuffle_partitions, "term_id", "salt"
@@ -187,71 +206,82 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
     """Segment compaction (S13, colbert/utils/coalesce.py:9-111 analog +
     reference index_coalesce_test.py equivalence contract): decode every
     term's blocks across all salt runs / appended segments, drop
-    tombstoned pids, and rewrite one clean pid-sorted run of blocks per
-    term. Rankings before and after must be identical (tested).
+    tombstoned pids, and rewrite clean pid-sorted runs. Rankings before
+    and after must be identical (tested).
 
-    The per-term merge happens in applyInPandas (numpy decode → concat →
-    sort → re-blockify via the standard build kernel path); Iceberg's
-    rewrite_data_files would replace this wholesale on a real catalog.
+    Skew-safe by the SAME mechanism as the build: a merge keyed on
+    term_id alone would put a head term's entire posting list (60% of a
+    10^12-doc corpus) in ONE pandas group. Instead:
+
+      1. decode blocks FLAT via mapInPandas — embarrassingly parallel,
+         each block self-contained, no grouping, no skew;
+      2. drop tombstones with a distributed anti-join (no driver
+         collect — tombstone sets of any size are fine);
+      3. re-blockify through the standard df-proportional salted kernel
+         (_salted_blockify), n_salts derived from the CURRENT per-term
+         posting counts (block metadata only — column-pruned, never
+         touches the binary columns), so appended segments count too.
+
+    Duplicate-pid detection survives salting: the salt is
+    pmod(xxhash64(pid), n_salts), so both copies of a duplicated
+    (term, pid) land in the same group and trip the kernel's
+    sorted-adjacent guard. Iceberg's rewrite_data_files would replace
+    this wholesale on a real catalog.
     """
-    import numpy as np
     import pandas as pd
 
     from colbert_spark.functions.codec import decode_pids, decode_tfs
-    from colbert_spark.sources.catalog import POSTINGS_SCHEMA
 
     from pyspark.sql import SparkSession
 
     ss = SparkSession.getActiveSession()
     blocks = catalog.read(ss, "postings")
-    term_dict = catalog.read(ss, "term_dict").select("term_id", "idf")
-    if catalog.table_exists("tombstones"):
-        tomb_rows = catalog.read(ss, "tombstones").collect()
-        tombs = np.sort(np.array([r["pid"] for r in tomb_rows], dtype=np.int64))
-    else:
-        tombs = np.empty(0, dtype=np.int64)
 
-    kernel = _make_block_builder(config.block_size, avgdl, config.k1, config.b)
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pids, tfs, dls = [], [], []
-        for pb, tb, db in zip(pdf["pids"], pdf["tfs"], pdf["dls"]):
-            pids.append(decode_pids(bytes(pb)))
-            tfs.append(decode_tfs(bytes(tb)))
-            dls.append(decode_tfs(bytes(db)))
-        p = np.concatenate(pids)
-        t, d = np.concatenate(tfs), np.concatenate(dls)
-        if tombs.size:
-            keep = ~np.isin(p, tombs)
-            p, t, d = p[keep], t[keep], d[keep]
-        if p.size and np.unique(p).size != p.size:
-            # duplicate postings for one pid = corrupted segment set;
-            # IndexUpdater.add prevents this by compacting before re-add
-            raise ValueError(
-                f"term {int(pdf['term_id'].iloc[0])}: duplicate pids in segments"
-            )
-        if p.size == 0:
-            return pd.DataFrame(
-                columns=["term_id", "block_id", "first_pid", "last_pid",
-                         "num_postings", "max_block_score", "pids", "tfs",
-                         "dls", "enc_bytes"]
-            )
-        flat = pd.DataFrame(
-            {
-                "term_id": pdf["term_id"].iloc[0],
-                "salt": 0,
-                "idf": pdf["idf"].iloc[0],
-                "pid": p, "tf": t, "doclen": d,
-            }
-        )
-        return kernel(flat)
-
-    merged = (
-        blocks.join(F.broadcast(term_dict), "term_id")
-        .groupBy("term_id")
-        .applyInPandas(merge, schema=POSTINGS_SCHEMA)
-        .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(config.index_partitions)))
+    # per-term live posting counts from block metadata (source of truth
+    # after appends, unlike the build-time df which IndexUpdater freezes)
+    counts = blocks.groupBy("term_id").agg(
+        F.sum("num_postings").alias("n_post")
     )
+    dict_slice = (
+        catalog.read(ss, "term_dict").select("term_id", "idf")
+        .join(counts, "term_id")
+        .select(
+            "term_id", "idf",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_post") / F.lit(config.max_group_postings)),
+            ).cast("long").alias("n_salts"),
+        )
+    )
+
+    def decode_flat(batches):
+        for pdf in batches:
+            out = []
+            for term_id, pb, tb, db in zip(
+                pdf["term_id"], pdf["pids"], pdf["tfs"], pdf["dls"]
+            ):
+                p = decode_pids(bytes(pb))
+                out.append(pd.DataFrame({
+                    "term_id": term_id,
+                    "pid": p,
+                    "tf": decode_tfs(bytes(tb)),
+                    "doclen": decode_tfs(bytes(db)),
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    flat = blocks.select("term_id", "pids", "tfs", "dls").mapInPandas(
+        decode_flat, schema="term_id long, pid long, tf long, doclen long"
+    )
+    if catalog.table_exists("tombstones"):
+        flat = flat.join(
+            catalog.read(ss, "tombstones").select("pid"), "pid", "left_anti"
+        )
+    enriched = flat.join(F.broadcast(dict_slice), "term_id").select(
+        "term_id", "pid", "tf", "doclen", "idf",
+        F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),
+    )
+    merged = _salted_blockify(enriched, avgdl, config)
     tmp = catalog.path("postings_compact_tmp")
     (
         merged.repartition(config.index_partitions, "bucket")
