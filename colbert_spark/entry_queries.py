@@ -330,16 +330,37 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+#: fixture-scaled sample size (reference default --sample 1500 of the dev
+#: set; here 3 of the 9-query fixture)
+_SUBSAMPLE_K = 3
+
+
+def _subsample_qids() -> list[int]:
+    """The reference's exact seeded selection (dev_subsample.py:33 seeds
+    12345, :18 random.sample over the qid-ordered list): sample positions
+    over qid order — identical to sources.tuning.split_queries_holdout."""
+    import random
+
+    qids = [q for q, _ in sorted(QUERY_SET)]
+    picked = random.Random(12345).sample(range(len(qids)), _SUBSAMPLE_K)
+    return sorted(qids[i] for i in picked)
+
+
 def q_query_subsample(spark, sf_dir):
-    """Dev subsample (T7, utility/rankings/dev_subsample.py:11-29): a
-    deterministic ~25% query sample. rand(seed) differs across engines, so
-    the sample predicate is md5-prefix-based — same split everywhere."""
-    ranking = q_bm25_top10(spark, sf_dir)
-    return ranking.filter(
-        F.substring(F.md5(F.col("qid").cast("string")), 1, 1).isin(
-            "0", "1", "2", "3"
-        )
+    """Dev subsample (T7, utility/rankings/dev_subsample.py:11-29):
+    seed-12345 random.sample over the qid-ordered query list — the
+    reference's exact rule, via split_queries_holdout (sources/tuning.py),
+    scaled to the fixture (3 of 9). Keeps every ranking row of the picked
+    qids (the reference emits the full qid2rankings group per sampled qid,
+    :20-25)."""
+    from colbert_spark.sources.tuning import split_queries_holdout
+
+    _, sampled = split_queries_holdout(
+        _query_df(spark), holdout=_SUBSAMPLE_K, seed=12345
     )
+    ranking = q_bm25_top10(spark, sf_dir)
+    return ranking.join(F.broadcast(sampled.select("qid")), "qid",
+                        "left_semi")
 
 
 def q_flipr_topterms(spark, sf_dir):
@@ -574,7 +595,8 @@ def q_rerank_topk(spark, sf_dir):
         .select("qid", "pid")
     )
     searcher = _indexed_searcher(spark, sf_dir)
-    out = searcher.search_all(_query_df(spark), k=10, qid_to_pids=cands).df
+    out = searcher.search_all(_query_df(spark), k=10, qid_to_pids=cands,
+                              allow_small=True).df
     return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
                       "score")
 
@@ -631,22 +653,34 @@ def q_create_triples(spark, sf_dir):
                           num_negatives=5, portable_hash=True)
 
 
+def q_create_triples_self(spark, sf_dir):
+    """Self-training triples (utility/supervision/self_training.py:28-57):
+    positives/negatives mined from the BM25 ranking ALONE by rank cutoffs —
+    no qrels. Positives = rank ≤ 3; negatives = 6 hash-sampled from
+    rank ∈ (10, 50]; one per-negative hash-drawn positive each."""
+    from colbert_spark.operators.triples import create_triples_self
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    ranking = brute.bm25_topk(docs, _query_df(spark), k=50)
+    return create_triples_self(
+        ranking, npositives=1, depth_positive=3, cutoff_negative=10,
+        depth_negative=50, num_sampled=6, portable_hash=True,
+    )
+
+
 def q_hop_search(spark, sf_dir):
     """Multi-hop retrieval (Baleen HopSearcher analog, server.hop_search):
     hop 1 retrieves for query 0, the top doc's 5 most-frequent terms
     (tf desc, first-occurrence asc) expand the query, hop 2 re-retrieves
     through the indexed engine. Whole funnel oracle-replayed in SQL."""
-    from colbert_spark.server import hop_search
+    from colbert_spark.server import hop_search, make_doc_text_lookup
 
     searcher = _indexed_searcher(spark, sf_dir)
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
 
-    def get_text(pid: int) -> str:
-        return docs.filter(F.col("pid") == pid).first()["text"]
-
     pids, ranks, scores = hop_search(searcher, QUERY_SET[0][1], k=10,
                                      hops=2, expand_terms=5,
-                                     get_doc_text=get_text)
+                                     get_doc_texts=make_doc_text_lookup(docs))
     return spark.createDataFrame(
         [(int(p), int(r), float(s)) for p, r, s in zip(pids, ranks, scores)],
         "pid long, rank long, score double",
@@ -768,6 +802,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "create_triples": q_create_triples,
+    "create_triples_self": q_create_triples_self,
     "hop_search": q_hop_search,
     "search_after_update": q_search_after_update,
     "multimodal_frames": q_multimodal_frames,
@@ -1046,11 +1081,14 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 ) WHERE rn <= 3
 """
 
+# the seeded random.sample itself is driver-side in the reference too
+# (dev_subsample.py:18) — the oracle inlines the identical selection and
+# checks the relational part (per-qid ranking group extraction)
 ORACLE["query_subsample"] = f"""
 WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
 SELECT qid, pid, rank, score FROM ranked
 WHERE rank <= 10
-  AND substring(md5(CAST(qid AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+  AND qid IN ({", ".join(str(q) for q in _subsample_qids())})
 """
 
 ORACLE["flipr_topterms"] = f"""
@@ -1357,6 +1395,32 @@ negs AS (
 )
 SELECT t.qid, t.pos, n.neg
 FROM taken t JOIN negs n ON t.qid = n.qid AND n.hr <= 5
+"""
+
+# self_training.py:28-57 replay: rank-cutoff pools over the BM25 ranking,
+# hash-order negative sampling, one per-negative hash-drawn positive
+ORACLE["create_triples_self"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+rk AS (SELECT qid, pid, rank FROM ranked WHERE rank <= 50),
+pos_pool AS (SELECT qid, pid AS pos FROM rk WHERE rank <= 3),
+negs AS (
+  SELECT qid, pid AS neg,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY {_SQL_H64.format(x="concat_ws('-', 42, qid, pid)")},
+                    pid) AS hr
+  FROM rk WHERE rank > 10 AND rank <= 50
+),
+pairs AS (
+  SELECT s.qid, p.pos, s.neg,
+         row_number() OVER (
+           PARTITION BY s.qid, s.neg
+           ORDER BY {_SQL_H64.format(x="concat_ws('-', 42, s.qid, s.neg, p.pos)")},
+                    p.pos) AS pr
+  FROM (SELECT qid, neg FROM negs WHERE hr <= 6) s
+  JOIN pos_pool p ON s.qid = p.qid
+)
+SELECT qid, pos, neg FROM pairs WHERE pr = 1
 """
 
 _Q0_TOKEN_VALUES = ", ".join(

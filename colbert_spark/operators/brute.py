@@ -73,6 +73,7 @@ def bm25_topk(
     doc_maxlen: int | None = 220,
     query_maxlen: int | None = 32,
     allowed_pids: DataFrame | None = None,
+    allowed_small: bool = False,
 ) -> DataFrame:
     """All-queries BM25 top-k → ranking(qid, pid, rank, score).
 
@@ -82,13 +83,17 @@ def bm25_topk(
     allowed_pids: optional (pid) allow-list, semi-joined onto the scored
     rows BEFORE the rank window (filter-first — the ranking work scales
     with the allowed set, not the corpus; same shape as
-    wand.topk_scatter's qid_to_pids handling).
+    wand.topk_scatter's qid_to_pids handling). allowed_small=True is the
+    caller's assertion that the list fits a broadcast; by default the join
+    is unhinted (an allow-list can be O(corpus), e.g. a language filter —
+    AQE still broadcasts at runtime when it turns out small).
 
     The tokenized corpus is persisted: the stats action (N, avgdl) inside
     this call materializes it, and the returned plan's scoring pass then
     reads the cache instead of re-tokenizing the corpus (previously three
-    tokenize jobs per query). Caller may .unpersist() via the session if
-    memory matters; the indexed path (Indexer/Searcher) never caches raw
+    tokenize jobs per query). The cached handle rides on the result as
+    ``.cached_deps`` so callers can unpersist deterministically after
+    materializing; the indexed path (Indexer/Searcher) never caches raw
     tokens at scale.
     """
     token_df = analysis.tokenize_docs(docs, id_col=id_col, text_col=text_col,
@@ -109,15 +114,18 @@ def bm25_topk(
                         F.col("idf")).alias("s"),
     )
     if allowed_pids is not None:
-        scored = scored.join(
-            F.broadcast(allowed_pids.select("pid")), "pid", "left_semi"
-        )
+        allow = allowed_pids.select("pid")
+        if allowed_small:
+            allow = F.broadcast(allow)
+        scored = scored.join(allow, "pid", "left_semi")
     agg = scored.groupBy("qid", "pid").agg(
         F.round(F.sum("s"), bm25.SCORE_DECIMALS).alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
-    return (
+    out = (
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "pid", "rank", "score")
     )
+    out.cached_deps = (token_df,)
+    return out

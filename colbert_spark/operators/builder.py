@@ -282,20 +282,13 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
         F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),
     )
     merged = _salted_blockify(enriched, avgdl, config)
-    tmp = catalog.path("postings_compact_tmp")
-    (
+    catalog.replace(
         merged.repartition(config.index_partitions, "bucket")
-        .sortWithinPartitions("term_id", "block_id")
-        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        .sortWithinPartitions("term_id", "block_id"),
+        "postings", partition_by=["bucket"],
     )
-    import shutil
-    from pathlib import Path
-
-    shutil.rmtree(catalog.path("postings"))
-    Path(tmp).rename(catalog.path("postings"))
-    for t in ("tombstones",):
-        if Path(catalog.path(t)).exists():
-            shutil.rmtree(catalog.path(t))
-    # the rename/deletes mutated files behind Spark's back — drop cached
-    # listings so same-session readers see the compacted segment set
-    ss.catalog.refreshByPath(str(catalog.root))
+    catalog.delete_table("tombstones")
+    # parquet layout: the replace/delete mutated files behind Spark's back —
+    # drop cached listings so same-session readers see the compacted
+    # segment set (no-op on a snapshot-versioned catalog)
+    catalog.refresh(ss)

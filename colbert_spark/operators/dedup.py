@@ -199,28 +199,38 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    # the signature table feeds BOTH sides of the candidate self-join;
-    # without a persist Spark recomputes the whole shingle→hash→min
-    # pipeline twice. Signatures are num_perm longs/doc — tiny next to
-    # the text — so caching them is the right trade at any corpus size.
+    # the signature table feeds the candidate self-join (twice) AND the
+    # final sig re-attach (twice more); without a persist Spark recomputes
+    # the whole shingle→hash→min pipeline four times. Signatures are
+    # num_perm longs/doc — tiny next to the text — so caching them is the
+    # right trade at any corpus size.
     sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col,
                               portable_hash=portable_hash).persist()
+    # band rows carry ONLY (id, band, bh): shuffling the full 64-long sig
+    # through 16 exploded band rows per doc would move ~8 KB/doc of
+    # duplicated payload through the self-join; signatures re-attach AFTER
+    # pair dedup via two hash joins against the persisted sig table
     banded = sigs.select(
-        id_col, "sig",
+        id_col,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
                 f"b -> struct(b as band, xxhash64(cast(slice(sig, b*{r}+1, {r}) as string)) as bh))"
             )
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.select(F.col(id_col).alias("a"), F.col("sig").alias("siga"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("b"), F.col("sig").alias("sigb"), "band", "bh")
-    cands = (
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col(id_col).alias("a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bh")
+    pairs = (
         a.join(b, ["band", "bh"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "siga", "sigb")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+    )
+    cands = pairs.join(
+        sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("siga")), "a"
+    ).join(
+        sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sigb")), "b"
     )
     est = cands.select(
         "a", "b",
@@ -230,7 +240,11 @@ def minhash_lsh_pairs(
             6,
         ).alias("est_jaccard"),
     )
-    return est.filter(F.col("est_jaccard") >= threshold)
+    out = est.filter(F.col("est_jaccard") >= threshold)
+    # expose the cached dependency so callers can release it after
+    # materializing the result (persist() handles leak otherwise)
+    out.cached_deps = (sigs,)
+    return out
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
@@ -280,11 +294,29 @@ def simhash_blocking_plan(max_hamming: int) -> tuple[int, int]:
     beyond that, 2-band keys — C(d+2, 2) keys/doc buys selective ~10-bit
     buckets instead of degenerate ≤ 5-bit single bands. Manku et al. WWW'07
     block-permutation scheme, combination form.
+
+    Selectivity at large radii: at max_hamming ≥ 8 the 2-band keys are only
+    ~64·2/(d+2) ≈ 10-13 bits wide, so random-doc bucket collision odds are
+    ~2^-11 and expected candidate volume grows ~n²/2^11 — fine at 10^7
+    docs, quadratic-in-practice at 10^9+. That is inherent to 64-bit
+    SimHash at large radii (Manku §4): past ~10^8 docs prefer radius ≤ 7
+    (≥ 8-bit single bands) or a wider (128-bit) signature. This function
+    warns when the requested radius enters that regime.
     """
+    import warnings
+
     if not 0 <= max_hamming <= 32:
         raise ValueError(f"max_hamming {max_hamming} outside supported [0, 32]")
     if max_hamming <= 7:
         return max_hamming + 1, 1
+    key_bits = 2 * (64 // (max_hamming + 2))
+    warnings.warn(
+        f"simhash blocking at max_hamming={max_hamming} uses ~{key_bits}-bit "
+        f"2-band keys: candidate volume grows ~n^2/2^{key_bits}; beyond ~10^8 "
+        "docs use radius <= 7 or a 128-bit signature",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return max_hamming + 2, 2
 
 
@@ -312,11 +344,13 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     import itertools
 
     k, c = simhash_blocking_plan(max_hamming)
+    owned_sigs = ()
     if sigs is None:
-        # both join sides read the signatures; persist so the Arrow
-        # bit-fold kernel runs once (one long per doc — cheap to cache)
+        # both join sides read the signatures; persist so the JVM bit-fold
+        # runs once (one long per doc — cheap to cache)
         sigs = simhash64(docs, id_col, text_col,
                          portable_hash=portable_hash).persist()
+        owned_sigs = (sigs,)
     band_exprs = [
         f"(shiftright(simhash, {off}) & {(1 << w) - 1})"
         for off, w in _band_bounds(64, k)
@@ -335,8 +369,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         a.join(b, "bh").filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
     )
-    return cands.select(
+    out = cands.select(
         "a", "b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
         .alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+    out.cached_deps = owned_sigs
+    return out

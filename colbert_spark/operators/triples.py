@@ -122,3 +122,87 @@ def create_triples(
         )
     sel = sel.select("qid", F.col("pid").alias("neg"))
     return taken.join(sel, "qid").select("qid", "pos", "neg")
+
+
+def create_triples_self(
+    ranking: DataFrame,
+    npositives: int = 1,
+    depth_positive: int = 10,
+    cutoff_negative: int = 50,
+    depth_negative: int = 1000,
+    num_sampled: int = 100,
+    biased: bool = False,
+    seed: int = 42,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Self-training triples mined from the ranking ALONE — no qrels
+    (utility/supervision/self_training.py:28-57 sample_for_query):
+
+    - positives = pids at rank ≤ depth_positive (:44-45);
+    - negatives = pids at cutoff_negative < rank ≤ depth_negative
+      (:40-47), num_sampled of them per query (:49-51);
+    - per sampled negative, npositives positives drawn per-negative
+      (:52-55) — here by deterministic hash order keyed on
+      (seed, qid, neg, pos), the same seeded-random.sample replacement
+      create_triples uses (reproducible at any parallelism,
+      DuckDB-replayable with the portable md5 hash);
+    - biased=True mirrors sample_negatives' 50/50 split between the
+      first-100 negatives and the rest (:19-25); requires even
+      num_sampled (:21). Pools smaller than their quota yield what they
+      have (the reference's random.sample would raise instead —
+      documented softening).
+
+    Joins + windows only; per-query state ≤ depth_negative rows.
+    Returns (qid, pos, neg); for npositives > 1, pos is a sorted
+    array<long> (the reference emits a list, :54).
+    """
+    if not npositives <= depth_positive < cutoff_negative < depth_negative:
+        raise ValueError(
+            "need npositives <= depth_positive < cutoff_negative < "
+            f"depth_negative, got {npositives}, {depth_positive}, "
+            f"{cutoff_negative}, {depth_negative}"
+        )
+    pos_pool = ranking.filter(F.col("rank") <= depth_positive).select(
+        "qid", F.col("pid").alias("pos")
+    )
+    negs = ranking.filter(
+        (F.col("rank") > cutoff_negative) & (F.col("rank") <= depth_negative)
+    ).select("qid", "pid", "rank")
+    horder = Window.partitionBy("qid").orderBy(
+        _neg_hash(seed, portable_hash), "pid"
+    )
+    if not biased:
+        sel = (
+            negs.withColumn("_h", F.row_number().over(horder))
+            .filter(F.col("_h") <= num_sampled)
+        )
+    else:
+        if num_sampled % 2:
+            raise ValueError("biased sampling needs an even num_sampled")
+        half = num_sampled // 2
+        nrank = Window.partitionBy("qid").orderBy("rank", "pid")
+        negs = negs.withColumn("_nr", F.row_number().over(nrank))
+        horder_grp = Window.partitionBy(
+            "qid", F.col("_nr") <= 100
+        ).orderBy(_neg_hash(seed, portable_hash), "pid")
+        negs = negs.withColumn("_hg", F.row_number().over(horder_grp))
+        sel = negs.filter(
+            F.when(F.col("_nr") <= 100, F.col("_hg") <= half)
+            .otherwise(F.col("_hg") <= num_sampled - half)
+        )
+    pairs = sel.select("qid", F.col("pid").alias("neg")).join(pos_pool, "qid")
+    if portable_hash:
+        ph = md5_hash64(F.concat_ws("-", F.lit(seed), "qid", "neg", "pos"))
+    else:
+        ph = F.xxhash64(F.lit(seed), "qid", "neg", "pos")
+    wp = Window.partitionBy("qid", "neg").orderBy(ph, "pos")
+    pairs = pairs.withColumn("_pr", F.row_number().over(wp)).filter(
+        F.col("_pr") <= npositives
+    )
+    if npositives == 1:
+        return pairs.select("qid", "pos", "neg")
+    return (
+        pairs.groupBy("qid", "neg")
+        .agg(F.sort_array(F.collect_list("pos")).alias("pos"))
+        .select("qid", "pos", "neg")
+    )

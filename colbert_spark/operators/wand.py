@@ -146,7 +146,9 @@ def topk_gather(query_blocks: DataFrame, k: int, avgdl: float,
 
 def topk_scatter(blocks: DataFrame, qterms: DataFrame, k: int,
                  avgdl: float, qid_to_pids: DataFrame | None = None,
-                 tombstones: DataFrame | None = None) -> DataFrame:
+                 tombstones: DataFrame | None = None,
+                 allow_small: bool = False,
+                 tombstones_small: bool = True) -> DataFrame:
     """Score blocks in place (no per-query gather), then relational top-k.
 
     Each block is decoded ONCE regardless of how many queries share the
@@ -155,7 +157,17 @@ def topk_scatter(blocks: DataFrame, qterms: DataFrame, k: int,
     and a broadcast join with qterms(qid, term_id, idf) produces per-query
     partials s = idf·core. Catalyst's map-side combine collapses the
     (qid, pid) partial sums before the one shuffle; window rank caps at k.
+
+    allow_small / tombstones_small: the caller's assertion that the
+    allow-list / tombstone set fits a broadcast. When False the joins are
+    left unhinted — an allow-list can be O(corpus) (e.g. a language
+    filter), and a forced broadcast of it is a driver/executor OOM; AQE
+    still converts to a runtime broadcast join when the set turns out
+    small.
     """
+
+    def _maybe_bcast(df: DataFrame, small: bool):
+        return F.broadcast(df) if small else df
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -182,8 +194,9 @@ def topk_scatter(blocks: DataFrame, qterms: DataFrame, k: int,
         kernel, schema="term_id long, pid long, core double"
     )
     if tombstones is not None:
-        partials = partials.join(F.broadcast(tombstones.select("pid")),
-                                 "pid", "left_anti")
+        partials = partials.join(
+            _maybe_bcast(tombstones.select("pid"), tombstones_small),
+            "pid", "left_anti")
     scored = partials.join(F.broadcast(qterms), "term_id").select(
         "qid", "pid", (F.col("idf") * F.col("core")).alias("s")
     )
@@ -194,13 +207,12 @@ def topk_scatter(blocks: DataFrame, qterms: DataFrame, k: int,
         # carries only allowed pairs — ranking work scales with the
         # candidate set, not the corpus.
         allow = qid_to_pids.select("qid", "pid")
-        restricted_qids = allow.select("qid").distinct()
+        # the distinct-qid side is bounded by the query batch — always tiny
+        restricted_qids = F.broadcast(allow.select("qid").distinct())
         restricted = scored.join(
-            F.broadcast(restricted_qids), "qid", "left_semi"
-        ).join(F.broadcast(allow), ["qid", "pid"], "left_semi")
-        unrestricted = scored.join(
-            F.broadcast(restricted_qids), "qid", "left_anti"
-        )
+            restricted_qids, "qid", "left_semi"
+        ).join(_maybe_bcast(allow, allow_small), ["qid", "pid"], "left_semi")
+        unrestricted = scored.join(restricted_qids, "qid", "left_anti")
         scored = restricted.unionByName(unrestricted)
     agg = scored.groupBy("qid", "pid").agg(
         F.round(F.sum("s"), SCORE_DECIMALS).alias("score")

@@ -40,6 +40,10 @@ class ColBERTConfig:
     # paths
     index_root: str = "/tmp/colbert_spark_indexes"
     index_name: str = "default"
+    # storage backend: empty = parquet layout under index_root; set to the
+    # name of a configured Iceberg Spark catalog (spark.sql.catalog.<name>)
+    # to store index tables as Iceberg tables (sources.catalog.make_catalog)
+    iceberg_catalog: str = ""
     # runtime
     shuffle_partitions: int = 32
 

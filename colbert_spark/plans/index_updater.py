@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from colbert_spark.operators import builder
 from colbert_spark.plans.config import ColBERTConfig
-from colbert_spark.sources.catalog import IndexCatalog
+from colbert_spark.sources.catalog import make_catalog
 
 _ADD_SALT_BASE = 1 << 20  # keeps appended block_ids disjoint from build-time
 
@@ -37,7 +37,7 @@ class IndexUpdater:
         cfg = ColBERTConfig.from_existing(config)
         cfg.index_name = index
         self.config = cfg
-        self.catalog = IndexCatalog(cfg.index_path())
+        self.catalog = make_catalog(cfg)
         meta = self.catalog.read_json("metadata.json")
         self.num_docs: int = meta["num_docs"]
         self.avgdl: float = meta["avg_doclen"]
@@ -50,10 +50,11 @@ class IndexUpdater:
             merged = old.unionByName(new).dropDuplicates(["pid"])
         else:
             merged = new.dropDuplicates(["pid"])
-        pdf = merged.toPandas()  # tombstone sets are small by contract
-        self.spark.createDataFrame(pdf).write.mode("overwrite").parquet(
-            self.catalog.path("tombstones")
-        )
+        # replace() avoids read-from/write-to-same-path (the union reads
+        # the existing tombstones table); tombstone tables can be large —
+        # never collected to the driver (Searcher applies a size guard too)
+        self.catalog.replace(merged, "tombstones")
+        self.catalog.refresh(self.spark)
 
     # -- add ---------------------------------------------------------------
     def add(self, docs: DataFrame, id_col: str = "pid",
@@ -122,9 +123,8 @@ class IndexUpdater:
                 "bucket", F.pmod(F.col("term_id"), F.lit(cfg.index_partitions))
             )
         )
-        blocks.write.mode("append").partitionBy("bucket").parquet(
-            self.catalog.path("postings")
-        )
+        self.catalog.write(blocks, "postings", mode="append",
+                           partition_by=["bucket"])
         # brand-new terms must enter the dictionary or they're unsearchable;
         # their idf stays the frozen-stats df=0 value used for their blocks
         new_terms = (
@@ -138,23 +138,17 @@ class IndexUpdater:
                 bm25f.idf(F.lit(0), self.num_docs).alias("idf"),
             )
         )
-        new_terms.write.mode("append").parquet(self.catalog.path("term_dict"))
+        self.catalog.write(new_terms, "term_dict", mode="append")
         # doc_stats: drop any stale row for re-added pids, append the new
-        # ones; tmp-dir + rename keeps the swap atomic-ish and distributed
-        import shutil
-        from pathlib import Path
-
+        # ones; catalog.replace keeps the swap atomic-ish and distributed
         old_stats = self.catalog.read(self.spark, "doc_stats").join(
             added, "pid", "left_anti"
         )
         merged_stats = old_stats.unionByName(builder.doc_stats(token_df))
-        tmp = self.catalog.path("doc_stats_tmp")
-        merged_stats.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.catalog.path("doc_stats"))
-        Path(tmp).rename(self.catalog.path("doc_stats"))
-        # the rename mutated files behind Spark's back — drop any cached
+        self.catalog.replace(merged_stats, "doc_stats")
+        # parquet layout mutated files behind Spark's back — drop any cached
         # listings so same-session readers see the swapped table
-        self.spark.catalog.refreshByPath(str(self.catalog.root))
+        self.catalog.refresh(self.spark)
 
     def persist_to_disk(self) -> None:
         """No-op: every mutation above is already durable (the reference

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from colbert_spark.operators import builder
 from colbert_spark.plans.config import ColBERTConfig
-from colbert_spark.sources.catalog import IndexCatalog
+from colbert_spark.sources.catalog import make_catalog
 
 MANIFEST_SCHEMA = (
     "bucket long, input_fingerprint string, num_blocks long, "
@@ -55,7 +55,7 @@ class Indexer:
                              "force_silent_overwrite")
         cfg = self.config
         cfg.index_name = name
-        cat = IndexCatalog(cfg.index_path())
+        cat = make_catalog(cfg)
 
         if cat.exists():
             if overwrite is False:
@@ -78,7 +78,7 @@ class Indexer:
         # bucket loss (or this run's append) would otherwise serve stale
         # file listings to this build and to Searchers created afterwards.
         if cat.exists():
-            spark.catalog.refreshByPath(str(cat.root))
+            cat.refresh(spark)
 
         # ---- setup + train: tokens, corpus stats, term dictionary --------
         # job-count discipline: each driver action costs ~0.5-2s of fixed
@@ -202,12 +202,10 @@ class Indexer:
 
         if todo:
             mode = "append" if done else "overwrite"
-            (
+            cat.write(
                 blocks.repartition(cfg.index_partitions, "bucket")
-                .sortWithinPartitions("term_id", "block_id")
-                .write.mode(mode)
-                .partitionBy("bucket")
-                .parquet(cat.path("postings"))
+                .sortWithinPartitions("term_id", "block_id"),
+                "postings", mode=mode, partition_by=["bucket"],
             )
 
         # ---- finalize: stats tables, manifest, metadata -------------------
@@ -321,5 +319,5 @@ class Indexer:
         term_agg_df.unpersist()
         # drop listings captured mid-build so post-build readers see the
         # final file set (matters for append-mode resume in one session)
-        spark.catalog.refreshByPath(str(cat.root))
+        cat.refresh(spark)
         return str(cat.root)

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from colbert_spark.functions import analysis
 from colbert_spark.operators import wand
 from colbert_spark.plans.config import ColBERTConfig
-from colbert_spark.sources.catalog import IndexCatalog
+from colbert_spark.sources.catalog import make_catalog
 from colbert_spark.sources.ranking import Ranking
 
 
@@ -46,7 +46,7 @@ class Searcher:
         base = ColBERTConfig.from_existing(config)
         base.index_name = index
         self.config = base
-        self.catalog = IndexCatalog(base.index_path())
+        self.catalog = make_catalog(base)
         meta = self.catalog.read_json("metadata.json")
         self.num_docs: int = meta["num_docs"]
         self.avgdl: float = meta["avg_doclen"]
@@ -54,14 +54,29 @@ class Searcher:
         self.term_dict.count()  # materialize once
         self._load_tombstones()
 
+    #: past this many tombstones, the exclusion set no longer rides the
+    #: gather kernel's closure as a driver numpy array (per-task ship of a
+    #: multi-MB array + driver memory) — it stays a DataFrame and search
+    #: runs in scatter mode with a distributed anti-join instead
+    _TOMBSTONE_GATHER_MAX = 100_000
+
     def _load_tombstones(self) -> None:
-        """Removed pids (IndexUpdater.remove analog) — excluded at decode."""
+        """Removed pids (IndexUpdater.remove analog) — excluded at decode.
+
+        Small sets → driver numpy (gather kernel filters after decode).
+        Large sets → DataFrame only (forces scatter; see search_all)."""
         import numpy as np
 
+        self.tombstones = None
+        self.tombstones_df = None
         if not self.catalog.table_exists("tombstones"):
-            self.tombstones = None
             return
-        rows = self.catalog.read(self.spark, "tombstones").collect()
+        tomb = self.catalog.read(self.spark, "tombstones").select("pid")
+        if tomb.limit(self._TOMBSTONE_GATHER_MAX + 1).count() \
+                > self._TOMBSTONE_GATHER_MAX:
+            self.tombstones_df = tomb
+            return
+        rows = tomb.collect()
         self.tombstones = np.sort(np.array([r["pid"] for r in rows],
                                            dtype=np.int64))
 
@@ -111,6 +126,7 @@ class Searcher:
         k: int = 10,
         mode: str = "auto",
         qid_to_pids: DataFrame | None = None,
+        allow_small: bool = False,
     ) -> Ranking:
         """Batch retrieval → Ranking. mode ∈ {auto, gather, scatter}.
 
@@ -122,7 +138,10 @@ class Searcher:
         when any query term's df is huge; gather otherwise.
 
         qid_to_pids: optional (qid, pid) allow-list DataFrame (F3 semantics:
-        restrict each query's search space before ranking).
+        restrict each query's search space before ranking). allow_small=True
+        asserts the list fits a broadcast; by default the semi-join is left
+        unhinted so an O(corpus) allow-list cannot force an OOM broadcast
+        (AQE still broadcasts at runtime when it is small).
         """
         if isinstance(queries, dict):
             queries = self.spark.createDataFrame(
@@ -151,15 +170,21 @@ class Searcher:
             empty = self.spark.createDataFrame([], wand.RANKING_SCHEMA)
             return Ranking(empty, self._provenance(k, mode))
 
-        tomb_df = None
-        if self.tombstones is not None and self.tombstones.size:
+        tomb_df, tomb_small = None, True
+        if self.tombstones_df is not None:
+            # tombstone set too large for the gather closure — scatter's
+            # distributed anti-join is the only scale-safe exclusion
+            tomb_df, tomb_small, mode = self.tombstones_df, False, "scatter"
+        elif self.tombstones is not None and self.tombstones.size:
             tomb_df = self.spark.createDataFrame(
                 [(int(p),) for p in self.tombstones], "pid long"
             )
         if qid_to_pids is not None or mode == "scatter":
             ranking = wand.topk_scatter(blocks, qterms, k, self.avgdl,
                                         qid_to_pids=qid_to_pids,
-                                        tombstones=tomb_df)
+                                        tombstones=tomb_df,
+                                        allow_small=allow_small,
+                                        tombstones_small=tomb_small)
         else:
             qblocks = blocks.join(F.broadcast(qterms), "term_id").select(
                 "qid", "term_id", "idf", "first_pid", "last_pid",
@@ -179,7 +204,7 @@ class Searcher:
                 [(0, int(p)) for p in pids], "qid long, pid long"
             )
         rows = (
-            self.search_all(q, k=k, qid_to_pids=allow)
+            self.search_all(q, k=k, qid_to_pids=allow, allow_small=True)
             .df.orderBy("rank").collect()
         )
         return (

@@ -77,6 +77,36 @@ class IndexCatalog:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
 
+    def replace(self, df: DataFrame, table: str,
+                partition_by: list[str] | None = None) -> None:
+        """Atomically-ish swap a table's contents with df (compaction /
+        doc_stats rewrite). Parquet: write to <table>_tmp, then rename over
+        the old dir — readers between the rmtree and rename can fail, which
+        is the known parquet-layout limitation Iceberg's snapshot swap
+        removes (IcebergIndexCatalog.replace is truly atomic)."""
+        import shutil
+
+        tmp = self.path(f"{table}_tmp")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        if Path(self.path(table)).exists():
+            shutil.rmtree(self.path(table))
+        Path(tmp).rename(self.path(table))
+
+    def delete_table(self, table: str) -> None:
+        import shutil
+
+        if Path(self.path(table)).exists():
+            shutil.rmtree(self.path(table))
+
+    def refresh(self, spark: SparkSession) -> None:
+        """Drop Spark's cached file listings under the index root — required
+        after any rename/delete that mutates files behind the FileStatusCache
+        (no-op for a real table catalog, which versions snapshots)."""
+        spark.catalog.refreshByPath(str(self.root))
+
     # --- json sidecars -----------------------------------------------------
     def write_json(self, name: str, obj: dict) -> None:
         self.root.mkdir(parents=True, exist_ok=True)
@@ -90,3 +120,95 @@ class IndexCatalog:
 
         if self.root.exists():
             shutil.rmtree(self.root)
+
+
+class IcebergIndexCatalog(IndexCatalog):
+    """Iceberg-backed index storage (SURVEY.md §1.1 S13 / §2.9 mapping).
+
+    Selected by make_catalog when ColBERTConfig.iceberg_catalog names a
+    configured Spark catalog (spark.sql.catalog.<name> =
+    org.apache.iceberg.spark.SparkCatalog). Tables live at
+    <catalog>.<namespace>.<table>; JSON sidecars (plan/metadata) stay on
+    the filesystem at index_root — they gate resume before any Spark job
+    runs. Differences from the parquet layout:
+
+    - replace() is a snapshot swap (createOrReplace) — truly atomic,
+      concurrent readers keep the old snapshot (the parquet rename window
+      disappears);
+    - compaction can additionally use the engine-native
+      `CALL <catalog>.system.rewrite_data_files` (compact_files());
+    - refresh() is a no-op — snapshot isolation replaces the
+      FileStatusCache workarounds.
+
+    The sandbox has no Iceberg runtime jar, so this class is exercised
+    only when one is on the classpath (tests skip otherwise, documented).
+    """
+
+    def __init__(self, index_path: str, catalog: str, namespace: str):
+        super().__init__(index_path)
+        self.catalog_name = catalog
+        # iceberg identifiers: letters/digits/underscore
+        self.ns = "".join(c if c.isalnum() else "_" for c in namespace)
+
+    def ident(self, table: str) -> str:
+        return f"{self.catalog_name}.{self.ns}.{table}"
+
+    def _spark(self) -> SparkSession:
+        return SparkSession.getActiveSession()
+
+    def table_exists(self, table: str) -> bool:
+        return self._spark().catalog.tableExists(self.ident(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.table(self.ident(table))
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+        import pyspark.sql.functions as F
+
+        w = df.writeTo(self.ident(table))
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append" and self.table_exists(table):
+            w.append()
+        else:
+            w.createOrReplace()
+
+    def replace(self, df: DataFrame, table: str,
+                partition_by: list[str] | None = None) -> None:
+        self.write(df, table, "overwrite", partition_by)
+
+    def compact_files(self, table: str = "postings") -> None:
+        """Engine-native file compaction (small-file merge; orthogonal to
+        coalesce_index's logical tombstone fold)."""
+        self._spark().sql(
+            f"CALL {self.catalog_name}.system.rewrite_data_files"
+            f"('{self.ns}.{table}')"
+        )
+
+    def delete_table(self, table: str) -> None:
+        self._spark().sql(f"DROP TABLE IF EXISTS {self.ident(table)}")
+
+    def refresh(self, spark: SparkSession) -> None:
+        pass  # snapshot isolation — nothing to invalidate
+
+    def delete(self) -> None:
+        spark = self._spark()
+        for row in spark.sql(
+            f"SHOW TABLES IN {self.catalog_name}.{self.ns}"
+        ).collect():
+            spark.sql(
+                f"DROP TABLE IF EXISTS "
+                f"{self.catalog_name}.{self.ns}.{row['tableName']}"
+            )
+        super().delete()  # json sidecars
+
+
+def make_catalog(config) -> IndexCatalog:
+    """The single selection point between storage backends: Iceberg when
+    config.iceberg_catalog names a configured catalog, parquet otherwise."""
+    if getattr(config, "iceberg_catalog", ""):
+        return IcebergIndexCatalog(
+            config.index_path(), config.iceberg_catalog, config.index_name
+        )
+    return IndexCatalog(config.index_path())

@@ -34,10 +34,12 @@ def tune_best_run(metrics_paths: list[str], metric_key: str,
         obj = json.loads(Path(path).read_text())
         for part in metric_key.split("."):
             obj = obj[part]
-        if not isinstance(obj, float):
+        # JSON integers (e.g. "success": 1) are legitimate scores the
+        # reference's tune.py accepts; bool is an int subclass — reject it
+        if isinstance(obj, bool) or not isinstance(obj, (int, float)):
             raise TypeError(f"{path}: {metric_key} is {type(obj).__name__}, "
-                            "expected float")
-        scores[path] = obj
+                            "expected a number")
+        scores[path] = float(obj)
     best = max(scores, key=lambda p: scores[p])
     if output is not None:
         out = Path(output)

@@ -17,7 +17,7 @@ ingestion metrics.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 
 from colbert_spark.plans.config import ColBERTConfig
@@ -113,8 +113,11 @@ def stream_exact_dedup(
     State is ONE 16-byte md5 per distinct text (never the text itself),
     and dropDuplicatesWithinWatermark evicts hashes older than the
     watermark, so state is bounded by distinct-docs-per-horizon rather
-    than corpus size. In batch mode degrades to a plain dropDuplicates on
-    the hash (no watermark semantics needed — backfills are finite).
+    than corpus size. In batch mode (backfills are finite) the survivor
+    per duplicate group is the deterministic earliest row — min (ts, then
+    remaining columns) via a window, matching exact_dedup_keep_first's
+    keep-first contract; a bare dropDuplicates would keep an arbitrary
+    row that varies with partitioning.
     """
     from colbert_spark.operators.dedup import normalized_text
 
@@ -124,4 +127,12 @@ def stream_exact_dedup(
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         df = df.withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(["_h"]).drop("_h")
-    return df.dropDuplicates(["_h"]).drop("_h")
+    order_cols = [F.asc(ts_col)] + [
+        F.asc(c) for c in docs.columns if c not in (ts_col, "_h")
+    ]
+    w = Window.partitionBy("_h").orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )

@@ -1,0 +1,86 @@
+"""IndexCatalog backends: parquet layout semantics + Iceberg selection
+(SURVEY.md §1.1 S13 / §2.9 — Iceberg-or-equivalent behind one abstraction).
+
+The Iceberg runtime jar is not available in this sandbox, so the
+Iceberg-backed write/read path is skipped (documented); the selection
+logic and the parquet implementation of the shared contract (replace /
+delete_table / refresh) are fully exercised.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from colbert_spark.plans.config import ColBERTConfig
+from colbert_spark.sources.catalog import (
+    IcebergIndexCatalog,
+    IndexCatalog,
+    make_catalog,
+)
+
+
+def _has_iceberg_jar() -> bool:
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return any("iceberg" in j.lower() for j in os.listdir(jars))
+
+
+def test_make_catalog_selects_backend(tmp_path):
+    cfg = ColBERTConfig(index_root=str(tmp_path), index_name="i1")
+    cat = make_catalog(cfg)
+    assert type(cat) is IndexCatalog
+
+    cfg2 = ColBERTConfig(index_root=str(tmp_path), index_name="my-index.2",
+                         iceberg_catalog="lake")
+    cat2 = make_catalog(cfg2)
+    assert isinstance(cat2, IcebergIndexCatalog)
+    # identifier sanitization: catalog.namespace.table, identifier-safe
+    assert cat2.ident("postings") == "lake.my_index_2.postings"
+
+
+def test_parquet_replace_and_delete_table(spark, tmp_path):
+    cat = IndexCatalog(str(tmp_path / "idx"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "pid long, v string")
+    cat.write(df1, "t")
+    assert cat.table_exists("t")
+    assert sorted(map(tuple, cat.read(spark, "t").collect())) == \
+        [(1, "a"), (2, "b")]
+
+    # replace derived FROM the current contents (read-modify-write on the
+    # same table — the exact shape IndexUpdater.remove/doc_stats uses)
+    merged = cat.read(spark, "t").unionByName(
+        spark.createDataFrame([(3, "c")], "pid long, v string")
+    )
+    cat.replace(merged, "t")
+    cat.refresh(spark)
+    assert sorted(map(tuple, cat.read(spark, "t").collect())) == \
+        [(1, "a"), (2, "b"), (3, "c")]
+    # no tmp dir left behind
+    assert not (tmp_path / "idx" / "t_tmp").exists()
+
+    cat.delete_table("t")
+    assert not cat.table_exists("t")
+    cat.delete_table("t")  # idempotent
+
+
+@pytest.mark.skipif(not _has_iceberg_jar(),
+                    reason="no Iceberg runtime jar in this sandbox "
+                           "(documented skip; SURVEY §7.0)")
+def test_iceberg_catalog_roundtrip(spark, tmp_path):
+    """Runs only where an Iceberg jar is on the classpath: tables round-trip
+    through writeTo/createOrReplace and replace() is a snapshot swap."""
+    spark.conf.set("spark.sql.catalog.lake",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.lake.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.lake.warehouse", str(tmp_path / "wh"))
+    cat = IcebergIndexCatalog(str(tmp_path / "idx"), "lake", "t1")
+    df = spark.createDataFrame([(1, "a")], "pid long, v string")
+    cat.write(df, "t")
+    assert cat.table_exists("t")
+    cat.replace(df.unionByName(df), "t")
+    assert cat.read(spark, "t").count() == 2
+    cat.delete_table("t")
+    assert not cat.table_exists("t")

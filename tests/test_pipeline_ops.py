@@ -432,3 +432,50 @@ def test_create_triples_reference_semantics(spark):
                           num_negatives=3).collect()
     assert sorted((r["qid"], r["pos"], r["neg"]) for r in out) == \
            sorted((r["qid"], r["pos"], r["neg"]) for r in out2)
+
+
+def test_create_triples_self_semantics(spark):
+    """Self-training triples (self_training.py:28-57): pools are pure rank
+    cutoffs (no qrels), num_sampled negatives per query, one per-negative
+    positive; biased mode draws half the sample from the first-100
+    negatives and half from the rest (:19-25)."""
+    from colbert_spark.operators.triples import create_triples_self
+
+    # qid 1: 200 ranked pids (pid = 1000 + rank)
+    rows = [(1, 1000 + r, r) for r in range(1, 201)]
+    ranking = spark.createDataFrame(rows, "qid long, pid long, rank int")
+
+    out = create_triples_self(
+        ranking, npositives=1, depth_positive=5, cutoff_negative=20,
+        depth_negative=200, num_sampled=8,
+    ).collect()
+    pos_pool = {1000 + r for r in range(1, 6)}
+    neg_pool = {1000 + r for r in range(21, 201)}
+    assert len(out) == 8 and len({r["neg"] for r in out}) == 8
+    assert all(r["pos"] in pos_pool and r["neg"] in neg_pool for r in out)
+
+    # biased: half the negatives from the first 100 of the pool, half after
+    biased = create_triples_self(
+        ranking, npositives=1, depth_positive=5, cutoff_negative=20,
+        depth_negative=200, num_sampled=8, biased=True,
+    ).collect()
+    top100 = {1000 + r for r in range(21, 121)}  # first 100 negatives
+    n_top = sum(r["neg"] in top100 for r in biased)
+    assert len(biased) == 8 and n_top == 4
+
+    # npositives > 1 → sorted array of distinct positives per negative
+    multi = create_triples_self(
+        ranking, npositives=2, depth_positive=5, cutoff_negative=20,
+        depth_negative=200, num_sampled=4,
+    ).collect()
+    assert len(multi) == 4
+    for r in multi:
+        assert len(r["pos"]) == 2 and r["pos"] == sorted(set(r["pos"]))
+
+    # deterministic under physical layout changes
+    again = create_triples_self(
+        ranking.repartition(16), npositives=1, depth_positive=5,
+        cutoff_negative=20, depth_negative=200, num_sampled=8,
+    ).collect()
+    assert sorted((r["qid"], r["pos"], r["neg"]) for r in out) == \
+           sorted((r["qid"], r["pos"], r["neg"]) for r in again)
