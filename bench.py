@@ -111,6 +111,19 @@ def main() -> None:
           lambda: Indexer(cfg_big).index("bench100k", big,
                                          overwrite="force_silent_overwrite"))
 
+    # new in r3: skew-safe compaction over the 100k index (flat decode →
+    # tombstone anti-join → salted re-blockify) — the maintenance path's
+    # cost relative to a fresh build
+    from colbert_spark.operators import builder as _builder
+    from colbert_spark.plans.index_updater import IndexUpdater
+    from colbert_spark.sources.catalog import make_catalog
+
+    IndexUpdater("bench100k", spark, cfg_big).remove([1, 2, 3])
+    _cat_big = make_catalog(cfg_big)
+    _avgdl = _cat_big.read_json("metadata.json")["avg_doclen"]
+    timed("index_coalesce_100k",
+          lambda: _builder.coalesce_index(_cat_big, cfg_big, _avgdl))
+
     # headline_total covers the round-1 key set only, so the driver's
     # round-over-round comparison stays apples-to-apples; probes added in
     # later rounds report in `queries` but not the total

@@ -19,8 +19,9 @@ Reference semantics from utility/supervision/triples.py:39-72
   DuckDB-replayable with the portable md5 hash. `biased=B` mirrors the
   reference's 50/50 split between the top-B negatives (by rank) and the
   rest, applied when the rest is at least as large (:30-34).
-- `permissive` mode (rank-positioned extra positives) is not implemented;
-  documented deviation.
+- `permissive` mode (:57-66): refused label-1 rows become extra positives
+  paired with 5 negatives drawn past their rank position — implemented
+  (see create_triples docstring for the counter-semantics collapse).
 
 Everything is joins + window functions — no per-row Python, no driver
 loop; group state never exceeds `depth` rows per query.
@@ -59,8 +60,19 @@ def create_triples(
     biased: int | None = None,
     seed: int = 42,
     portable_hash: bool = False,
+    permissive: bool = False,
+    permissive_negatives: int = 5,
 ) -> DataFrame:
-    """labeled(qid, pid, rank, label∈{0,1}) → triples(qid, pos, neg)."""
+    """labeled(qid, pid, rank, label∈{0,1}) → triples(qid, pos, neg).
+
+    permissive (triples.py:57-66): label-1 rows REFUSED by the greedy rule
+    still become positives, each paired with permissive_negatives (:66
+    num_sampled=5) negatives drawn from the negatives at list position >
+    its rank (:61 `negatives[neg_start:]`), unbiased (:68 biased_=None).
+    In permissive mode the reference's positives counter grows on EVERY
+    label-1 row (:58/:61 both append), so the strict-take rule collapses
+    to `positive-index < M(rank)` — no prefix/once-refused machinery.
+    """
     slots = sorted(positives, key=lambda s: s[1])
     for (b1, d1), (b2, d2) in zip(slots, slots[1:]):
         if b2 > b1:
@@ -74,16 +86,23 @@ def create_triples(
     w = Window.partitionBy("qid").orderBy("rank")
     pos = pos.withColumn("_i", F.row_number().over(w) - 1)
     pos = pos.withColumn("_ok", F.col("_i") < _max_best_expr(positives))
-    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
-    pos = pos.withColumn(
-        "_bad_before",
-        F.coalesce(
-            F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).over(wprev), F.lit(0)
-        ),
-    )
-    taken = pos.filter(F.col("_ok") & (F.col("_bad_before") == 0)).select(
-        "qid", F.col("pid").alias("pos")
-    )
+    if permissive:
+        taken = pos.filter(F.col("_ok")).select("qid", F.col("pid").alias("pos"))
+        refused = pos.filter(~F.col("_ok")).select(
+            "qid", F.col("pid").alias("pos"), F.col("rank").alias("_neg_start")
+        )
+    else:
+        wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+        pos = pos.withColumn(
+            "_bad_before",
+            F.coalesce(
+                F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).over(wprev),
+                F.lit(0),
+            ),
+        )
+        taken = pos.filter(F.col("_ok") & (F.col("_bad_before") == 0)).select(
+            "qid", F.col("pid").alias("pos")
+        )
 
     negs = r.filter(F.col("label") == 0).select("qid", "pid", "rank")
     horder = Window.partitionBy("qid").orderBy(
@@ -121,7 +140,33 @@ def create_triples(
             ).otherwise(F.col("_h") <= num_negatives)
         )
     sel = sel.select("qid", F.col("pid").alias("neg"))
-    return taken.join(sel, "qid").select("qid", "pos", "neg")
+    strict = taken.join(sel, "qid").select("qid", "pos", "neg")
+    if not permissive:
+        return strict
+    # permissive positives: negatives at list position > the positive's
+    # rank (triples.py:61 `negatives[neg_start:]` — neg_start IS the rank),
+    # permissive_negatives per positive by per-positive hash order.
+    # Bounded: ≤ depth label-1 × depth label-0 rows per query pre-filter.
+    nrank = Window.partitionBy("qid").orderBy("rank", "neg")
+    negs_ord = (
+        r.filter(F.col("label") == 0)
+        .select("qid", F.col("pid").alias("neg"), "rank")
+        .withColumn("_nr", F.row_number().over(nrank))
+    )
+    cand = refused.join(negs_ord, "qid").filter(
+        F.col("_nr") > F.col("_neg_start")
+    )
+    if portable_hash:
+        ph = md5_hash64(F.concat_ws("-", F.lit(seed), "qid", "pos", "neg"))
+    else:
+        ph = F.xxhash64(F.lit(seed), "qid", "pos", "neg")
+    wperm = Window.partitionBy("qid", "pos").orderBy(ph, "neg")
+    perm = (
+        cand.withColumn("_pr", F.row_number().over(wperm))
+        .filter(F.col("_pr") <= permissive_negatives)
+        .select("qid", "pos", "neg")
+    )
+    return strict.unionByName(perm)
 
 
 def create_triples_self(

@@ -434,6 +434,60 @@ def test_create_triples_reference_semantics(spark):
            sorted((r["qid"], r["pos"], r["neg"]) for r in out2)
 
 
+def test_create_triples_permissive_reference_semantics(spark):
+    """Permissive mode must equal a pure-Python replay of the reference's
+    sample_for_query with permissive=True (triples.py:42-72): every label-1
+    row becomes a positive (counter grows on both branches), refused ones
+    pair with negatives at list position > their rank."""
+    from colbert_spark.operators.triples import create_triples
+
+    rows = []
+    # qid 1: positives at ranks 2, 4, 11, 18; depth 30
+    for rank in range(1, 31):
+        rows.append((1, 100 + rank, rank, 1 if rank in (2, 4, 11, 18) else 0))
+    labeled = spark.createDataFrame(
+        rows, "qid long, pid long, rank int, label int"
+    )
+    specs = ((2, 10), (1, 25))
+
+    def replay_positives(qrows):
+        strict, refused, count = [], [], 0
+        for pid, rank, label in sorted(qrows, key=lambda x: x[1]):
+            if not label:
+                continue
+            take = any(rank <= d and count < b for b, d in specs)
+            if take:
+                strict.append(pid)
+            else:
+                # neg_start = rank; eligible negs are list positions > rank
+                refused.append((pid, rank))
+            count += 1  # permissive: grows on BOTH branches
+        return strict, refused
+
+    out = create_triples(labeled, positives=specs, depth=30,
+                         num_negatives=3, permissive=True,
+                         permissive_negatives=2).collect()
+    qrows = [(p, rk, lb) for q, p, rk, lb in rows]
+    strict, refused = replay_positives(qrows)
+    by_pos = {}
+    for r in out:
+        by_pos.setdefault(r["pos"], set()).add(r["neg"])
+    assert set(by_pos) == set(strict) | {p for p, _ in refused}
+    negs_in_order = [p for p, rk, lb in sorted(qrows, key=lambda x: x[1])
+                     if lb == 0]
+    for pid in strict:
+        assert len(by_pos[pid]) == 3  # full num_negatives, whole pool
+    for pid, rank in refused:
+        eligible = set(negs_in_order[rank:])  # list position > rank
+        assert len(by_pos[pid]) == 2  # permissive_negatives
+        assert by_pos[pid] <= eligible, (pid, rank)
+    # non-permissive output is untouched by the new parameters
+    base = create_triples(labeled, positives=specs, depth=30,
+                          num_negatives=3).collect()
+    strict_np = {r["pos"] for r in base}
+    assert strict_np == {102, 104}  # prefix rule: refused-at-11 stops takes
+
+
 def test_create_triples_self_semantics(spark):
     """Self-training triples (self_training.py:28-57): pools are pure rank
     cutoffs (no qrels), num_sampled negatives per query, one per-negative
