@@ -619,6 +619,17 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, max_hamming=10, portable_hash=True)
 
 
+def q_dedup_simhash128(spark, sf_dir):
+    """128-bit SimHash near-dup pairs at Hamming ≤ 12 — the radius regime
+    where a 64-bit signature's blocking keys degrade to ~10 effective bits
+    (simhash_blocking_plan warns); at 128 bits the plan stays single-band
+    (k=13, c=1, ≥ 9-bit keys). Banding recall is guaranteed, so the banded
+    result equals the oracle's brute all-pairs scan exactly."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return dedup.simhash_near_pairs128(docs, max_hamming=12,
+                                       portable_hash=True)
+
+
 def q_create_triples(spark, sf_dir):
     """Training-triples mining (utility/supervision/triples.py analog):
     label the BM25 top-50 with tf-top-3 pseudo-qrels, take positives by
@@ -801,6 +812,7 @@ QUERIES = {
     "rerank_topk": q_rerank_topk,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash128": q_dedup_simhash128,
     "create_triples": q_create_triples,
     "create_triples_self": q_create_triples_self,
     "hop_search": q_hop_search,
@@ -1734,4 +1746,49 @@ SELECT x.doc_id AS a, y.doc_id AS b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
 FROM sig x JOIN sig y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
+"""
+
+# 128-bit variant: the two halves are disjoint 60-bit md5 slices (chars
+# 1-15 and 17-31) — in lockstep with dedup.simhash128(portable_hash=True).
+ORACLE["dedup_simhash128"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents WHERE doc_id < 300
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(terms) AS term FROM t)
+  GROUP BY doc_id, term
+),
+th AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hl,
+         CAST(('0x' || substr(md5(term), 17, 15)) AS BIGINT) AS hh,
+         tf
+  FROM tf
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hl >> b) & 1 = 1 THEN tf ELSE -tf END) AS vl,
+         sum(CASE WHEN (hh >> b) & 1 = 1 THEN tf ELSE -tf END) AS vh
+  FROM th, unnest(range(0, 64)) AS r(b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vl > 0
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+           AS lo,
+         CAST(sum(CASE WHEN vh > 0
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+           AS hi
+  FROM votes GROUP BY doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+            AS BIGINT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 12
 """

@@ -264,27 +264,135 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.count(F.lit(1)).alias("tf"))
         .select(id_col, _hash64("term", portable_hash).alias("h"), "tf")
     )
-    votes = term_h.groupBy(id_col).agg(*[
+    votes = term_h.groupBy(id_col).agg(*_vote_aggs("h", "v"))
+    return votes.select(F.col(id_col), _assemble_int64("v").alias("simhash"))
+
+
+def _vote_aggs(hcol: str, tag: str) -> list:
+    """64 conditional-sum bit-vote aggregates over hash column `hcol`,
+    aliased {tag}0..{tag}63 (same JVM map-side-combinable fold as
+    simhash64)."""
+    return [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
+            F.when(F.shiftright(hcol, b).bitwiseAND(F.lit(1)) == 1,
                    F.col("tf")).otherwise(-F.col("tf"))
-        ).alias(f"v{b}")
+        ).alias(f"{tag}{b}")
         for b in range(64)
-    ])
-    # assemble the signed int64: bits 0..62 sum directly; bit 63 is the
-    # sign bit (adding 1<<63 would overflow ANSI int64 — add −2^63 instead,
-    # the same two's-complement value)
+    ]
+
+
+def _assemble_int64(tag: str):
+    """Signed int64 from 64 vote columns {tag}0..{tag}63: bits 0..62 sum
+    directly; bit 63 is the sign bit (adding 1<<63 would overflow ANSI
+    int64 — add −2^63 instead, the same two's-complement value)."""
     low = None
     for b in range(63):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")) \
+        term = F.when(F.col(f"{tag}{b}") > 0, F.lit(1 << b).cast("long")) \
                 .otherwise(F.lit(0).cast("long"))
         low = term if low is None else low + term
-    sig = low + F.when(F.col("v63") > 0,
-                       F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0))
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+    return low + F.when(F.col(f"{tag}63") > 0,
+                        F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0))
 
 
-def simhash_blocking_plan(max_hamming: int) -> tuple[int, int]:
+def simhash128(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", portable_hash: bool = False) -> DataFrame:
+    """(id, simhash_lo, simhash_hi) 128-bit SimHash: two independent
+    64-bit term hashes voted in ONE groupBy (128 conditional-sum JVM
+    aggregates, map-side combinable — one shuffle of 128 partial longs
+    per doc).
+
+    Why 128 bits: at dedup radii ≥ 8 a 64-bit signature's blocking keys
+    degrade to ~10-13 effective bits (simhash_blocking_plan warns), so
+    bucket candidate volume grows ~n²/2^11 at web scale. Doubling the
+    signature keeps ≥ 8-bit single-band keys up to radius 15 — the Manku
+    et al. WWW'07 remedy for large-radius near-dup at 10^9+ docs.
+
+    Hash independence: xxhash64(term) and xxhash64(term, 1) (seeded by the
+    extra literal column) on the scale path; in portable mode the two
+    halves are disjoint 60-bit slices of one md5 (chars 1-15 and 17-31),
+    replayable in DuckDB. Portable halves carry 60 effective bits each
+    (top 4 bits always vote negative) — blocking/recall guarantees are
+    unaffected, selectivity is marginally lower.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(analysis.tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if portable_hash:
+        md5 = F.md5("term")
+        h_lo = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+        h_hi = F.conv(F.substring(md5, 17, 15), 16, 10).cast("long")
+    else:
+        h_lo = F.xxhash64("term")
+        h_hi = F.xxhash64("term", F.lit(1))
+    term_h = tf.select(id_col, h_lo.alias("hl"), h_hi.alias("hh"), "tf")
+    votes = term_h.groupBy(id_col).agg(*_vote_aggs("hl", "vl"),
+                                       *_vote_aggs("hh", "vh"))
+    return votes.select(
+        F.col(id_col),
+        _assemble_int64("vl").alias("simhash_lo"),
+        _assemble_int64("vh").alias("simhash_hi"),
+    )
+
+
+def simhash_near_pairs128(docs: DataFrame, max_hamming: int = 10,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          sigs: DataFrame | None = None,
+                          portable_hash: bool = False) -> DataFrame:
+    """Near-dup pairs (a < b, hamming ≤ max_hamming) over the 128-bit
+    signature, guaranteed recall (pigeonhole over
+    simhash_blocking_plan(max_hamming, num_bits=128) bands).
+
+    Bands partition the 128 bit positions by giving each 64-bit half its
+    own contiguous spans (ceil(k/2) bands from lo, floor(k/2) from hi) —
+    any disjoint partition of positions into k groups satisfies the
+    pigeonhole argument, and per-half spans keep extraction to one
+    shiftright+mask per band. Same slim join shape as simhash_near_pairs:
+    band rows carry (id, sigs, bh); one equi-join on the 8-byte key."""
+    import itertools
+
+    k, c = simhash_blocking_plan(max_hamming, num_bits=128)
+    owned_sigs = ()
+    if sigs is None:
+        sigs = simhash128(docs, id_col, text_col,
+                          portable_hash=portable_hash).persist()
+        owned_sigs = (sigs,)
+    k_lo = (k + 1) // 2
+    band_exprs = [
+        f"(shiftright(simhash_lo, {off}) & {(1 << w) - 1})"
+        for off, w in _band_bounds(64, k_lo)
+    ] + [
+        f"(shiftright(simhash_hi, {off}) & {(1 << w) - 1})"
+        for off, w in _band_bounds(64, k - k_lo)
+    ]
+    keys = [
+        f"xxhash64({kid}, {', '.join(band_exprs[i] for i in combo)})"
+        for kid, combo in enumerate(itertools.combinations(range(k), c))
+    ]
+    banded = sigs.select(
+        id_col, "simhash_lo", "simhash_hi",
+        F.explode(F.expr(f"array({', '.join(keys)})")).alias("bh"),
+    )
+    a = banded.select(F.col(id_col).alias("a"), F.col("simhash_lo").alias("la"),
+                      F.col("simhash_hi").alias("ha"), "bh")
+    b = banded.select(F.col(id_col).alias("b"), F.col("simhash_lo").alias("lb"),
+                      F.col("simhash_hi").alias("hb"), "bh")
+    cands = (
+        a.join(b, "bh").filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    out = cands.select(
+        "a", "b",
+        (F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+         + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))).cast("long")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    out.cached_deps = owned_sigs
+    return out
+
+
+def simhash_blocking_plan(max_hamming: int, num_bits: int = 64) -> tuple[int, int]:
     """(num_bands k, bands_per_key c) such that blocking on every C(k, c)
     concatenation of c bands guarantees recall for Hamming ≤ k − c
     (pigeonhole: d flipped bits corrupt ≤ d bands, leaving ≥ k − d clean;
@@ -295,28 +403,32 @@ def simhash_blocking_plan(max_hamming: int) -> tuple[int, int]:
     buckets instead of degenerate ≤ 5-bit single bands. Manku et al. WWW'07
     block-permutation scheme, combination form.
 
-    Selectivity at large radii: at max_hamming ≥ 8 the 2-band keys are only
-    ~64·2/(d+2) ≈ 10-13 bits wide, so random-doc bucket collision odds are
-    ~2^-11 and expected candidate volume grows ~n²/2^11 — fine at 10^7
-    docs, quadratic-in-practice at 10^9+. That is inherent to 64-bit
-    SimHash at large radii (Manku §4): past ~10^8 docs prefer radius ≤ 7
-    (≥ 8-bit single bands) or a wider (128-bit) signature. This function
-    warns when the requested radius enters that regime.
+    Selectivity at large radii: once keys narrow below ~14 effective bits,
+    random-doc bucket collision odds are ~2^-key_bits and expected candidate
+    volume grows ~n²/2^key_bits — fine at 10^7 docs, quadratic-in-practice
+    at 10^9+. That is inherent to fixed-width SimHash at large radii (Manku
+    §4). With the default 64-bit signature the regime starts at
+    max_hamming ≥ 8; `num_bits=128` (simhash128) keeps ≥ 8-bit single
+    bands up to radius 15 and stays out of the warning zone through 16.
+    This function warns when the requested (radius, width) enters it.
     """
     import warnings
 
     if not 0 <= max_hamming <= 32:
         raise ValueError(f"max_hamming {max_hamming} outside supported [0, 32]")
-    if max_hamming <= 7:
+    if num_bits // (max_hamming + 1) >= 8:
         return max_hamming + 1, 1
-    key_bits = 2 * (64 // (max_hamming + 2))
-    warnings.warn(
-        f"simhash blocking at max_hamming={max_hamming} uses ~{key_bits}-bit "
-        f"2-band keys: candidate volume grows ~n^2/2^{key_bits}; beyond ~10^8 "
-        "docs use radius <= 7 or a 128-bit signature",
-        RuntimeWarning,
-        stacklevel=2,
-    )
+    key_bits = 2 * (num_bits // (max_hamming + 2))
+    if key_bits <= 13:
+        wider = "radius <= 7 or a 128-bit signature (simhash128)" \
+            if num_bits == 64 else f"a radius where keys stay wider (num_bits={num_bits})"
+        warnings.warn(
+            f"simhash blocking at max_hamming={max_hamming} uses ~{key_bits}-bit "
+            f"2-band keys: candidate volume grows ~n^2/2^{key_bits}; beyond ~10^8 "
+            f"docs use {wider}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return max_hamming + 2, 2
 
 

@@ -162,6 +162,71 @@ def test_simhash_blocking_plan_guarantee():
         dedup.simhash_blocking_plan(33)
 
 
+def test_simhash_blocking_plan_128():
+    """128-bit plan: single-band (selective ≥ 8-bit keys) through radius
+    15 — the regime a 64-bit signature cannot reach — pigeonhole recall at
+    every radius, no warning until keys actually narrow (radius 17)."""
+    import itertools
+    import warnings
+
+    for d in range(0, 33):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            k, c = dedup.simhash_blocking_plan(d, num_bits=128)
+        assert k - c >= d
+        if d <= 15:
+            assert (k, c) == (d + 1, 1)
+        else:
+            assert (k, c) == (d + 2, 2)
+        assert bool(w) == (d >= 17)  # 14-bit keys at 16; ≤ 12-bit past it
+        n_keys = len(list(itertools.combinations(range(k), c)))
+        assert n_keys <= 600
+    # 64-bit behavior unchanged by the num_bits generalization
+    assert dedup.simhash_blocking_plan(7) == (8, 1)
+    with pytest.warns(RuntimeWarning):
+        assert dedup.simhash_blocking_plan(8) == (10, 2)
+
+
+def test_simhash128_banded_equals_brute_at_radius_12(spark):
+    """128-bit banded pairs at hamming ≤ 12 (single-band plan, k=13) must
+    equal the brute all-pairs scan exactly — 100% recall via pigeonhole
+    with bands split across the two signature halves."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    sigs = dedup.simhash128(docs)
+    banded = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.simhash_near_pairs128(docs, max_hamming=12,
+                                             sigs=sigs).collect()
+    }
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash_lo").alias("la"),
+                    F.col("simhash_hi").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash_lo").alias("lb"),
+                    F.col("simhash_hi").alias("hb"))
+    brute = {
+        (r["a"], r["b"], r["hamming"])
+        for r in a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b",
+                (F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+                 + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+                .cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 12)
+        .collect()
+    }
+    assert len(brute) > 0  # fixture actually exercises the radius
+    assert banded == brute
+    # identical-text docs collide on the full 128 bits
+    dup = {r["doc_id"]: (r["simhash_lo"], r["simhash_hi"])
+           for r in dedup.simhash128(
+               spark.createDataFrame([(0, "alpha beta gamma"),
+                                      (1, "alpha beta gamma")],
+                                     "doc_id long, text string")).collect()}
+    assert dup[0] == dup[1]
+
+
 def test_simhash_banded_equals_brute_at_radius_10(spark):
     """Recall test the old 4×16 banding failed: banded pairs at hamming ≤ 10
     must equal the brute all-pairs scan exactly (candidate false positives
