@@ -83,6 +83,11 @@ def main() -> None:
         "doc_id", "text")
     timed("dedup_simhash10",
           lambda: dedup.simhash_near_pairs(all_docs, max_hamming=10).count())
+    # r3: same radius over the 128-bit signature — single-band plan (11
+    # selective keys/doc vs 66 two-band keys at 64-bit), the scale path
+    # for large-radius near-dup
+    timed("dedup_simhash128_10",
+          lambda: dedup.simhash_near_pairs128(all_docs, max_hamming=10).count())
 
     # new in r2: rerank-over-candidates through the allow-list scatter path
     allow = searcher.search_all(queries, k=20).df.select("qid", "pid")
