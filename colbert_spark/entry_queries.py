@@ -247,6 +247,15 @@ def q_token_count_by_source(spark, sf_dir):
     return textstats.token_counts_by(_docs(spark, sf_dir), "source")
 
 
+def q_curate_corpus(spark, sf_dir):
+    """End-to-end curation funnel over the FULL documents table: exact
+    dedup keep-first → quality gate → English-only — one tokenize pass,
+    the shape a 100-TB training-data pipeline runs before indexing."""
+    from colbert_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir), require_lang="en")
+
+
 def q_ann_cosine_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -791,6 +800,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "token_count_by_source": q_token_count_by_source,
+    "curate_corpus": q_curate_corpus,
     "ann_cosine_top5": q_ann_cosine_top5,
     "multimodal_meta": q_multimodal_meta,
     "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -997,6 +1007,37 @@ SELECT doc_id, n_tokens, n_chars_norm, avg_token_len, stopword_ratio,
        CAST(n_tokens >= 5 AND n_tokens <= 500 AND stopword_ratio < 0.5
             AS INTEGER) AS quality
 FROM f
+"""
+
+# Curation funnel: fingerprint/keep-first ≡ dedup_exact's hash, quality
+# gate ≡ quality_score's thresholds on the ROUNDED ratio, lang gate ≡
+# lang_id's >= 0.05 rule on the UNROUNDED ratio.
+ORACLE["curate_corpus"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         md5(array_to_string(terms, ' ')) AS fp,
+         len(terms) AS n_tokens,
+         CASE WHEN len(terms) > 0 THEN
+           len(list_filter(terms, x -> list_contains({_SQL_STOP}, x))) * 1.0
+             / len(terms)
+         ELSE 0.0 END AS ratio
+  FROM t
+),
+k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp)
+SELECT f.doc_id,
+       CAST(f.n_tokens AS BIGINT) AS n_tokens,
+       round(f.ratio, 6) AS stopword_ratio,
+       CASE WHEN f.ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id
+WHERE f.n_tokens >= 5 AND f.n_tokens <= 500
+  AND round(f.ratio, 6) < 0.5
+  AND f.ratio >= 0.05
 """
 
 ORACLE["lang_id"] = f"""

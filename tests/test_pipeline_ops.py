@@ -162,6 +162,34 @@ def test_simhash_blocking_plan_guarantee():
         dedup.simhash_blocking_plan(33)
 
 
+def test_curate_corpus_equals_operator_composition(spark):
+    """The single-pass funnel must keep exactly the docs that survive the
+    three individual operators applied in sequence (dedup keep-first →
+    quality gate → lang gate) — one tokenize pass is an optimization,
+    never a semantics change."""
+    from colbert_spark.operators import textstats
+    from colbert_spark.operators.curation import curate_corpus
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["stopword_ratio"], r["lang_pred"])
+           for r in curate_corpus(docs, require_lang="en").collect()}
+
+    kept = dedup.exact_dedup_keep_first(docs)
+    quality = textstats.quality_features(kept)
+    lang = textstats.lang_id_heuristic(kept)
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["stopword_ratio"], r["lang_pred"])
+        for r in quality.filter(F.col("quality") == 1)
+        .join(lang.filter(F.col("lang_pred") == "en"), "doc_id")
+        .select("doc_id", "n_tokens", "stopword_ratio", "lang_pred")
+        .collect()
+    }
+    assert len(want) > 0 and got == want
+
+
 def test_simhash_blocking_plan_128():
     """128-bit plan: single-band (selective ≥ 8-bit keys) through radius
     15 — the regime a 64-bit signature cannot reach — pigeonhole recall at
