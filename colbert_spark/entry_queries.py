@@ -639,6 +639,16 @@ def q_dedup_simhash128(spark, sf_dir):
                                        portable_hash=True)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the radius-10
+    SimHash pair graph (min-label propagation; oracle replays it as a
+    recursive transitive closure). The (doc_id, rep) output is what a
+    dedup pipeline actually consumes — keep reps, drop the rest."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=10, portable_hash=True)
+    return dedup.near_dup_components(pairs)
+
+
 def q_create_triples(spark, sf_dir):
     """Training-triples mining (utility/supervision/triples.py analog):
     label the BM25 top-50 with tf-top-3 pseudo-qrels, take positives by
@@ -823,6 +833,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash128": q_dedup_simhash128,
+    "dedup_clusters": q_dedup_clusters,
     "create_triples": q_create_triples,
     "create_triples_self": q_create_triples_self,
     "hop_search": q_hop_search,
@@ -1757,8 +1768,8 @@ SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.3
 # Brute all-pairs ground truth at fixture scale; the Spark side's banded
 # plan must equal it exactly because simhash_blocking_plan guarantees
 # recall at radius 10 (the exact bit_count filter removes bucket FPs).
-ORACLE["dedup_simhash"] = f"""
-WITH t AS (
+# The CTE chain is shared with dedup_clusters' recursive oracle.
+_SQL_SIMHASH10_PAIRS = f"""t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS terms
@@ -1782,11 +1793,36 @@ sig AS (
                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
            AS simhash
   FROM votes GROUP BY doc_id
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
+)"""
+
+ORACLE["dedup_simhash"] = f"""
+WITH {_SQL_SIMHASH10_PAIRS}
+SELECT a, b, hamming FROM pairs
+"""
+
+# Connected components of the same pair graph: rep = min doc id
+# reachable, via a recursive transitive closure (min-label fixpoint —
+# the declarative mirror of the Spark side's min-label propagation).
+ORACLE["dedup_clusters"] = f"""
+WITH RECURSIVE {_SQL_SIMHASH10_PAIRS},
+edges AS (
+  SELECT a AS x, b AS y FROM pairs
+  UNION ALL
+  SELECT b AS x, a AS y FROM pairs
+),
+reach(x, r) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x
 )
-SELECT x.doc_id AS a, y.doc_id AS b,
-       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
+SELECT x AS doc_id, CAST(least(x, min(r)) AS BIGINT) AS rep
+FROM reach GROUP BY x
 """
 
 # 128-bit variant: the two halves are disjoint 60-bit md5 slices (chars

@@ -392,6 +392,70 @@ def simhash_near_pairs128(docs: DataFrame, max_hamming: int = 10,
     return out
 
 
+def near_dup_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+                        max_iter: int = 50) -> DataFrame:
+    """(doc_id, rep): connected components of the undirected near-dup pair
+    graph, rep = min doc id reachable — the cluster artifact a dedup
+    pipeline consumes (keep each rep, drop the rest; transitively
+    consistent, unlike per-pair 'drop b' rules, which over- or under-drop
+    on chains a~b~c).
+
+    Min-label propagation: label(x) starts at min(x, neighbors(x)) and
+    each round takes the min over neighbor labels, converging in
+    O(graph diameter) rounds — near-dup graphs are dense little cliques
+    with tiny diameters, so a handful of rounds in practice. Each round
+    is one shuffle join keyed by doc id (uniform — ids, not content).
+    For adversarial long-chain graphs at 10^12 edges, swap in the
+    doubling variant (Hash-to-Min / large-star small-star, O(log d)
+    rounds); the driver-side loop here IS the intended structure — one
+    fixpoint check per round, not per row.
+
+    Raises RuntimeError if max_iter rounds don't converge (graph
+    diameter > max_iter — not a near-dup-shaped graph).
+    """
+    edges = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    adj = edges.union(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).persist()
+    labels = (
+        adj.groupBy("x").agg(F.min("y").alias("_nb"))
+        .select("x", F.least("x", "_nb").alias("label"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nb_label = labels.select(F.col("x").alias("y"), "label")
+        prop = (
+            adj.join(nb_label, "y")
+            .groupBy("x").agg(F.min("label").alias("_prop"))
+        )
+        new_labels = (
+            labels.join(prop, "x", "left")
+            .select("x", F.least("label", "_prop").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "x")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        adj.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iter} rounds"
+        )
+    adj.unpersist()
+    out = labels.select(F.col("x").alias("doc_id"), F.col("label").alias("rep"))
+    out.cached_deps = (labels,)
+    return out
+
+
 def simhash_blocking_plan(max_hamming: int, num_bits: int = 64) -> tuple[int, int]:
     """(num_bands k, bands_per_key c) such that blocking on every C(k, c)
     concatenation of c bands guarantees recall for Hamming ≤ k − c

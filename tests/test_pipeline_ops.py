@@ -162,6 +162,24 @@ def test_simhash_blocking_plan_guarantee():
         dedup.simhash_blocking_plan(33)
 
 
+def test_near_dup_components_transitive_chain(spark):
+    """Chains must collapse to one cluster (the property per-pair 'drop b'
+    rules get wrong): a 6-hop path 0-1-2-...-6 plus a disjoint pair all
+    label to their component minimum, across more propagation rounds than
+    the graph's star radius."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(100, 101)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["rep"]
+           for r in dedup.near_dup_components(pairs).collect()}
+    assert got == {**{i: 0 for i in range(7)}, 100: 100, 101: 100}
+    with pytest.raises(RuntimeError):
+        dedup.near_dup_components(
+            spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                  "a long, b long"),
+            max_iter=1)
+
+
 def test_curate_corpus_equals_operator_composition(spark):
     """The single-pass funnel must keep exactly the docs that survive the
     three individual operators applied in sequence (dedup keep-first →
