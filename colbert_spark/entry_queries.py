@@ -247,6 +247,29 @@ def q_token_count_by_source(spark, sf_dir):
     return textstats.token_counts_by(_docs(spark, sf_dir), "source")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source sampling (the pretraining data-mixing
+    knob): keep 100% of src0, 50% of src1, 25% of src2, 10% elsewhere —
+    shuffle-free hash-threshold filter, identical rows at any
+    parallelism."""
+    from colbert_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1, portable_hash=True,
+    ).select("doc_id", "source")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concatenate-and-slice sequence packing (T5/GPT pretraining layout)
+    over 8 hash-assigned streams at a 512-token budget."""
+    from colbert_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512, n_streams=8,
+                          portable_hash=True)
+
+
 def q_curate_corpus(spark, sf_dir):
     """End-to-end curation funnel over the FULL documents table: exact
     dedup keep-first → quality gate → English-only — one tokenize pass,
@@ -811,6 +834,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "token_count_by_source": q_token_count_by_source,
     "curate_corpus": q_curate_corpus,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "ann_cosine_top5": q_ann_cosine_top5,
     "multimodal_meta": q_multimodal_meta,
     "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1018,6 +1043,53 @@ SELECT doc_id, n_tokens, n_chars_norm, avg_token_len, stopword_ratio,
        CAST(n_tokens >= 5 AND n_tokens <= 500 AND stopword_ratio < 0.5
             AS INTEGER) AS quality
 FROM f
+"""
+
+# Deterministic sampling: keep iff hash(id:seed) % 1e6 < fraction * 1e6
+# (sampling.stratified_sample, portable md5 hash).
+ORACLE["stratified_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {_SQL_H64.format(x="concat(CAST(doc_id AS VARCHAR), ':', '42')")}
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source FROM h
+WHERE bucket < CASE source
+                 WHEN 'src0' THEN 1000000
+                 WHEN 'src1' THEN 500000
+                 WHEN 'src2' THEN 250000
+                 ELSE 100000 END
+"""
+
+# Concatenate-and-slice packing (packing.pack_sequences): exclusive
+# prefix sum of token counts within hash-assigned streams, sequences are
+# budget-sized token slices.
+ORACLE["pack_sequences"] = f"""
+WITH r AS (
+  SELECT doc_id,
+         ({_SQL_H64.format(x="concat(CAST(doc_id AS VARCHAR), ':', '42')")}
+           % 1000000) % 8 AS stream,
+         {_SQL_H64.format(x="concat(CAST(doc_id AS VARCHAR), ':', '43')")}
+           % 1000000 AS ord,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+              '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, stream, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY stream
+                                           ORDER BY ord, doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_tok
+  FROM r
+)
+SELECT doc_id, stream, start_tok, n_tokens,
+       CAST(start_tok // 512 AS BIGINT) AS seq_first,
+       CAST(greatest(start_tok + n_tokens - 1, start_tok) // 512 AS BIGINT)
+         AS seq_last
+FROM c
 """
 
 # Curation funnel: fingerprint/keep-first ≡ dedup_exact's hash, quality

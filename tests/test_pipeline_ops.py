@@ -162,6 +162,57 @@ def test_simhash_blocking_plan_guarantee():
         dedup.simhash_blocking_plan(33)
 
 
+def test_stratified_sample_rates_and_determinism(spark):
+    """Fraction-1.0 strata keep everything, fraction-0 strata keep
+    nothing, middle rates land near their target on a big-enough draw,
+    and the surviving set is identical at different partitionings (the
+    shuffle-free determinism the operator exists for)."""
+    from colbert_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fr = {"src0": 1.0, "src1": 0.0, "src2": 0.5}
+    got = stratified_sample(docs, fr, default_fraction=0.2)
+    by_src = {r["source"]: r["n"] for r in
+              got.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["src0"] == totals["src0"]
+    assert "src1" not in by_src
+    assert 0 < by_src.get("src2", 0) < totals["src2"]
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  stratified_sample(docs.repartition(13), fr,
+                                    default_fraction=0.2)
+                  .select("doc_id").collect())
+    assert ids == ids2
+
+
+def test_pack_sequences_tiles_streams_exactly(spark):
+    """Within every stream the doc spans tile [0, stream total) with no
+    gaps or overlaps, seq bounds follow integer division by the budget,
+    and the layout is identical at a different input partitioning."""
+    from colbert_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, budget=256, n_streams=4).collect()
+    streams: dict[int, list] = {}
+    for r in out:
+        streams.setdefault(r["stream"], []).append(r)
+        assert r["seq_first"] == r["start_tok"] // 256
+        assert r["seq_last"] == max(r["start_tok"] + r["n_tokens"] - 1,
+                                    r["start_tok"]) // 256
+    assert len(streams) == 4
+    for rows in streams.values():
+        rows.sort(key=lambda r: r["start_tok"])
+        pos = 0
+        for r in rows:
+            assert r["start_tok"] == pos
+            pos += r["n_tokens"]
+    again = pack_sequences(docs.repartition(7), budget=256, n_streams=4).collect()
+    key = lambda r: (r["doc_id"], r["stream"], r["start_tok"])
+    assert sorted(map(key, out)) == sorted(map(key, again))
+
+
 def test_near_dup_components_transitive_chain(spark):
     """Chains must collapse to one cluster (the property per-pair 'drop b'
     rules get wrong): a 6-hop path 0-1-2-...-6 plus a disjoint pair all
