@@ -412,17 +412,25 @@ def near_dup_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
 
     Raises RuntimeError if max_iter rounds don't converge (graph
     diameter > max_iter — not a near-dup-shaped graph).
+
+    Lineage note: every round MUST cut its logical plan
+    (`localCheckpoint`), not just cache its data — with plain persist()
+    each iteration re-embeds the whole upstream plan (including the pair
+    generator's banding expressions) and Catalyst re-analyzes a plan
+    that doubles per round; at sf0.1 the plan string hit the 2 GB JVM
+    limit and OOMed the driver before the fix. Checkpointed label state
+    is two longs per node. On a cluster, swap localCheckpoint for a
+    reliable checkpoint dir if executor loss mid-algorithm matters.
     """
     edges = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     adj = edges.union(
         edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         adj.groupBy("x").agg(F.min("y").alias("_nb"))
         .select("x", F.least("x", "_nb").alias("label"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iter):
         nb_label = labels.select(F.col("x").alias("y"), "label")
         prop = (
@@ -432,7 +440,7 @@ def near_dup_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         new_labels = (
             labels.join(prop, "x", "left")
             .select("x", F.least("label", "_prop").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -440,20 +448,15 @@ def near_dup_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     else:
-        adj.unpersist()
-        labels.unpersist()
         raise RuntimeError(
             f"near_dup_components did not converge in {max_iter} rounds"
         )
-    adj.unpersist()
-    out = labels.select(F.col("x").alias("doc_id"), F.col("label").alias("rep"))
-    out.cached_deps = (labels,)
-    return out
+    return labels.select(F.col("x").alias("doc_id"),
+                         F.col("label").alias("rep"))
 
 
 def simhash_blocking_plan(max_hamming: int, num_bits: int = 64) -> tuple[int, int]:
