@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from colbert_spark import caching
 from colbert_spark.functions import analysis, bm25
 
 
@@ -91,10 +92,10 @@ def bm25_topk(
     The tokenized corpus is persisted: the stats action (N, avgdl) inside
     this call materializes it, and the returned plan's scoring pass then
     reads the cache instead of re-tokenizing the corpus (previously three
-    tokenize jobs per query). The cached handle rides on the result as
-    ``.cached_deps`` so callers can unpersist deterministically after
-    materializing; the indexed path (Indexer/Searcher) never caches raw
-    tokens at scale.
+    tokenize jobs per query). The cached handle is registered with
+    caching.register("bm25_topk") so callers can release it with
+    caching.drain() after materializing; the indexed path
+    (Indexer/Searcher) never caches raw tokens at scale.
     """
     token_df = analysis.tokenize_docs(docs, id_col=id_col, text_col=text_col,
                                       maxlen=doc_maxlen).persist()
@@ -127,5 +128,5 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "pid", "rank", "score")
     )
-    out.cached_deps = (token_df,)
+    caching.register(token_df, "bm25_topk")
     return out

@@ -20,6 +20,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from colbert_spark import caching
 from colbert_spark.functions import analysis
 
 # 31-bit Mersenne prime: products a*h stay under 2^62 (ANSI-safe int64)
@@ -240,11 +241,10 @@ def minhash_lsh_pairs(
             6,
         ).alias("est_jaccard"),
     )
-    out = est.filter(F.col("est_jaccard") >= threshold)
-    # expose the cached dependency so callers can release it after
-    # materializing the result (persist() handles leak otherwise)
-    out.cached_deps = (sigs,)
-    return out
+    # the persisted signature table is released via caching.drain() once
+    # the caller has materialized the result
+    caching.register(sigs, "minhash_lsh_pairs")
+    return est.filter(F.col("est_jaccard") >= threshold)
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
@@ -388,7 +388,8 @@ def simhash_near_pairs128(docs: DataFrame, max_hamming: int = 10,
          + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))).cast("long")
         .alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
-    out.cached_deps = owned_sigs
+    for s in owned_sigs:
+        caching.register(s, "simhash128_near_pairs")
     return out
 
 
@@ -553,5 +554,6 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
         .alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
-    out.cached_deps = owned_sigs
+    for s in owned_sigs:
+        caching.register(s, "simhash_near_pairs")
     return out

@@ -16,6 +16,8 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .. import caching
+
 SIM_DECIMALS = 6
 
 
@@ -96,18 +98,23 @@ _LSH_EXPR_LIMIT = 4096
 
 def _lsh_buckets_pandas(df: DataFrame, id_name: str, vec_name: str,
                         tables: list[np.ndarray], n_planes: int,
-                        flip_bits: bool) -> DataFrame:
-    """(id, vec, bucket) with one row per (row, table[, probe]) — bucket
-    signatures via a single numpy matmul per Arrow batch instead of
-    dim × planes × tables literal expressions. flip_bits adds the
-    single-bit multi-probe buckets (query side)."""
+                        flip_bits: bool, include_vec: bool = True) -> DataFrame:
+    """One row per (row, table[, probe]) — bucket signatures via a single
+    numpy matmul per Arrow batch instead of dim × planes × tables literal
+    expressions. flip_bits adds the single-bit multi-probe buckets (query
+    side). include_vec=False emits only (id, bucket): the near-pair
+    self-join bands id-only and re-attaches vectors after pair dedup, so
+    the fat payload must not be np.repeat-ed per bucket row here."""
     import pandas as pd
 
     planes = np.vstack(tables)  # (T*J, dim)
     n_tab = len(tables)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
     offsets = (np.arange(n_tab, dtype=np.int64) << n_planes)
-    schema = f"{id_name} long, {vec_name} array<double>, bucket long"
+    if include_vec:
+        schema = f"{id_name} long, {vec_name} array<double>, bucket long"
+    else:
+        schema = f"{id_name} long, bucket long"
 
     def gen(batches):
         for pdf in batches:
@@ -125,11 +132,11 @@ def _lsh_buckets_pandas(df: DataFrame, id_name: str, vec_name: str,
                     [buckets[:, :, None], flipped], axis=2
                 ).reshape(len(pdf), -1)
             n_rep = buckets.shape[1]
-            yield pd.DataFrame({
-                id_name: np.repeat(pdf[id_name].to_numpy(), n_rep),
-                vec_name: np.repeat(pdf[vec_name].to_numpy(), n_rep),
-                "bucket": buckets.reshape(-1),
-            })
+            cols = {id_name: np.repeat(pdf[id_name].to_numpy(), n_rep)}
+            if include_vec:
+                cols[vec_name] = np.repeat(pdf[vec_name].to_numpy(), n_rep)
+            cols["bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(cols)
 
     return df.mapInPandas(gen, schema=schema)
 
@@ -348,6 +355,16 @@ def cosine_near_pairs(
     small, so near-dups collide with near-certainty while the bucket join
     keeps the candidate set ~linear. Recall vs brute is pytest-measured
     (probabilistic, unlike SimHash's combinatorial guarantee).
+
+    Shuffle shape (lsh): band rows carry ONLY (vec_id, bucket) — at dim
+    1536 float64 the vector is ~12 KB/row, and duplicating it per bucket
+    row through both sides of the corpus×corpus equi-join (n_tables ×
+    both sides ≈ 74 KB/doc at defaults) is the exact payload-carry
+    anti-pattern the MinHash join fixed (dedup.py minhash_lsh_pairs).
+    Vectors re-attach AFTER pair dedup via two hash joins against the
+    persisted slim (vec_id, v, nv) table, so each surviving pair moves
+    each vector once. The slim table is registered with caching.register;
+    call caching.drain() after materializing the result.
     """
     it = items.select(
         F.col(id_col).alias("vec_id"),
@@ -363,26 +380,33 @@ def cosine_near_pairs(
         dim = len(items.select(vec_col).first()[0])
         tables = [_hyperplanes(dim, n_planes, seed=42 + 97 * t)
                   for t in range(n_tables)]
+        # both re-attach joins read this; one (id, vec, norm) row per doc
+        slim = caching.register(it.persist(), "cosine_near_pairs")
         if dim * n_planes * n_tables > _LSH_EXPR_LIMIT:
             banded = _lsh_buckets_pandas(
-                it.select("vec_id", "v"), "vec_id", "v", tables, n_planes,
-                flip_bits=False,
-            ).withColumn("nv", _norm(F.col("v")))
+                slim.select("vec_id", "v"), "vec_id", "v", tables, n_planes,
+                flip_bits=False, include_vec=False,
+            )
         else:
-            banded = it.withColumn(
-                "bucket",
+            banded = slim.select(
+                "vec_id",
                 F.explode(F.array(*[
                     lsh_signature_col("v", tables[t]) + F.lit(t << n_planes)
                     for t in range(n_tables)
-                ])),
+                ])).alias("bucket"),
             )
-        a = banded.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
-                          F.col("nv").alias("na"), "bucket")
-        b = banded.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
-                          F.col("nv").alias("nb"), "bucket")
-        pairs = (
+        a = banded.select(F.col("vec_id").alias("a"), "bucket")
+        b = banded.select(F.col("vec_id").alias("b"), "bucket")
+        cand = (
             a.join(b, "bucket").filter(F.col("a") < F.col("b"))
-            .drop("bucket").dropDuplicates(["a", "b"])
+            .select("a", "b").dropDuplicates(["a", "b"])
+        )
+        pairs = cand.join(
+            slim.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                        F.col("nv").alias("na")), "a",
+        ).join(
+            slim.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                        F.col("nv").alias("nb")), "b",
         )
     else:
         raise ValueError(f"unknown blocking {blocking!r}")
