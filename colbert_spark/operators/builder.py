@@ -287,6 +287,17 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
         .sortWithinPartitions("term_id", "block_id"),
         "postings", partition_by=["bucket"],
     )
+    if catalog.table_exists("tombstones"):
+        # doc_stats must shrink with the postings: a compacted-away pid
+        # left in doc_stats makes IndexUpdater.add's clash check raise a
+        # false "already live" for a doc that is physically gone
+        catalog.replace(
+            catalog.read(ss, "doc_stats").join(
+                catalog.read(ss, "tombstones").select("pid"), "pid",
+                "left_anti",
+            ),
+            "doc_stats",
+        )
     catalog.delete_table("tombstones")
     # parquet layout: the replace/delete mutated files behind Spark's back —
     # drop cached listings so same-session readers see the compacted

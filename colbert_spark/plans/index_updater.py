@@ -74,11 +74,14 @@ class IndexUpdater:
         else:
             tombs, readded = None, 0
         if readded:
-            # physically drop tombstoned postings before re-adding the pid
-            removed_pids = tombs.toPandas()  # small by contract
+            # physically drop tombstoned postings before re-adding the pid.
+            # localCheckpoint (not toPandas) keeps the tombstone set on the
+            # executors — tombstone tables can be large (remove()'s own
+            # contract) and the checkpoint stays valid after coalesce
+            # deletes the underlying table
+            removed = tombs.localCheckpoint(eager=True)
             builder.coalesce_index(self.catalog, cfg, self.avgdl)
             tombs = None
-            removed = self.spark.createDataFrame(removed_pids)
         else:
             removed = None
         live = self.catalog.read(self.spark, "doc_stats").select("pid")

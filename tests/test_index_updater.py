@@ -98,6 +98,49 @@ def test_coalesce_preserves_rankings_and_compacts(spark, env):
     assert up_check == after
 
 
+def test_readd_after_direct_coalesce(spark, env):
+    """remove → coalesce_index directly → re-add one of the removed pids.
+    Compaction must prune doc_stats along with the postings: before the
+    fix a removed pid still sat in doc_stats after a direct compaction,
+    and add()'s clash check raised a false "already live" ValueError for
+    a doc that was physically gone."""
+    cfg, docs, queries = env
+    import pathlib as _pl
+    cat = IndexCatalog(str(_pl.Path(cfg.index_root) / "u1"))
+    before = _rank(spark, cfg, queries)
+    victims = sorted({r[1] for r in before})[:3]
+
+    up = IndexUpdater("u1", spark, cfg)
+    up.remove(victims)
+    builder.coalesce_index(cat, cfg, up.avgdl)
+    # doc_stats shrank with the postings
+    live_pids = {r["pid"] for r in cat.read(spark, "doc_stats").collect()}
+    assert not (live_pids & set(victims))
+
+    up2 = IndexUpdater("u1", spark, cfg)
+    up2.add(docs.filter(F.col("pid").isin(victims)))  # must not raise
+    assert _rank(spark, cfg, queries) == before  # frozen stats ⇒ restored
+
+
+def test_readd_path_avoids_driver_collect(spark, env, monkeypatch):
+    """The re-add branch must not round-trip the tombstone table through
+    the driver (remove()'s contract: tombstone tables can be large)."""
+    cfg, docs, queries = env
+    from pyspark.sql import DataFrame
+    before = _rank(spark, cfg, queries)
+    victims = sorted({r[1] for r in before})[:2]
+    up = IndexUpdater("u1", spark, cfg)
+    up.remove(victims)
+
+    def _no_pandas(self):
+        raise AssertionError("tombstones collected to the driver")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _no_pandas)
+    IndexUpdater("u1", spark, cfg).add(docs.filter(F.col("pid").isin(victims)))
+    monkeypatch.undo()
+    assert _rank(spark, cfg, queries) == before
+
+
 def test_large_tombstone_set_forces_scatter(spark, env, monkeypatch):
     """Past _TOMBSTONE_GATHER_MAX the exclusion set must stay a DataFrame
     (distributed anti-join) instead of riding the gather kernel's closure
