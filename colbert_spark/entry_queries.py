@@ -1068,10 +1068,10 @@ WHERE bucket < CASE source
 ORACLE["pack_sequences"] = f"""
 WITH r AS (
   SELECT doc_id,
-         ({_SQL_H64.format(x="concat(CAST(doc_id AS VARCHAR), ':', '42')")}
-           % 1000000) % 8 AS stream,
+         {_SQL_H64.format(x="concat(CAST(doc_id AS VARCHAR), ':', '42')")}
+           % 8 AS stream,
          {_SQL_H64.format(x="concat(CAST(doc_id AS VARCHAR), ':', '43')")}
-           % 1000000 AS ord,
+           AS ord,
          CAST(len(list_filter(regexp_split_to_array(lower(text),
               '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents

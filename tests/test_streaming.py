@@ -208,6 +208,22 @@ def test_stream_exact_dedup(spark, tmp_path):
     assert len({0, 1, 3} & set(kept)) == 1
 
 
+def test_stream_exact_dedup_batch_without_ts_column(spark):
+    """A batch backfill without the timestamp column must still dedup
+    (deterministic lexicographic-min survivor), not raise
+    AnalysisException on the missing order column."""
+    from colbert_spark.streaming.ingest import stream_exact_dedup
+
+    batch = spark.createDataFrame(
+        [(3, "alpha beta"), (1, "alpha  BETA"), (2, "other text")],
+        "doc_id long, text string",
+    )
+    kept = sorted((r["doc_id"], r["text"])
+                  for r in stream_exact_dedup(batch).collect())
+    # min over remaining columns → doc_id 1 survives the dup group
+    assert kept == [(1, "alpha  BETA"), (2, "other text")]
+
+
 def test_sessionize_stream_matches_batch_with_ties(spark, tmp_path):
     """Stream/batch parity on duplicate (user_id, ts) events — the stream
     kernel's (ts, event_id) mergesort must agree with the batch window's
