@@ -253,14 +253,38 @@ def test_near_dup_components_transitive_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(6)] + [(100, 101)], "a long, b long"
     )
-    got = {r["doc_id"]: r["rep"]
-           for r in dedup.near_dup_components(pairs).collect()}
-    assert got == {**{i: 0 for i in range(7)}, 100: 100, 101: 100}
+    expect = {**{i: 0 for i in range(7)}, 100: 100, 101: 100}
+    for algo in ("doubling", "propagation"):
+        got = {r["doc_id"]: r["rep"]
+               for r in dedup.near_dup_components(pairs,
+                                                  algorithm=algo).collect()}
+        assert got == expect, algo
     with pytest.raises(RuntimeError):
         dedup.near_dup_components(
             spark.createDataFrame([(i, i + 1) for i in range(6)],
                                   "a long, b long"),
             max_iter=1)
+
+
+def test_near_dup_components_doubling_beats_chain_diameter(spark):
+    """Adversarial 60-hop path: plain propagation needs O(diameter) ≈ 59
+    rounds and must fail a 20-round budget; pointer-jump doubling
+    (Hash-to-Min style) contracts label chains in O(log d) and converges
+    well inside it with identical components."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)],
+                                  "a long, b long")
+    with pytest.raises(RuntimeError):
+        dedup.near_dup_components(chain, max_iter=20,
+                                  algorithm="propagation")
+    got = {r["doc_id"]: r["rep"]
+           for r in dedup.near_dup_components(chain, max_iter=20,
+                                              algorithm="doubling").collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_near_dup_components_empty_graph(spark):
+    empty = spark.createDataFrame([], "a long, b long")
+    assert dedup.near_dup_components(empty).collect() == []
 
 
 def test_curate_corpus_equals_operator_composition(spark):
