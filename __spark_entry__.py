@@ -32,14 +32,28 @@ from colbert_spark import entry_queries
 def _ship_package(spark: SparkSession) -> None:
     """Guarantee Python workers can import colbert_spark even when the
     driver's session was built without our env (addPyFile reaches workers
-    of an already-running session)."""
+    of an already-running session).
+
+    The zip name carries a content hash of the package sources: a zip
+    shipped via addPyFile SHADOWS the PYTHONPATH copy on workers, so a
+    cached /tmp zip from an older build would pin executors to stale code
+    (observed: a pre-Arrow-tokenizer zip surviving in /tmp raised
+    AttributeError on `_tokenize_batch_pyarrow` mid-session). Hashing the
+    name makes a changed package a NEW path — Spark refuses to re-add a
+    mutated path under the same name, but a fresh name always ships."""
+    import hashlib
     import zipfile
 
-    zip_path = "/tmp/colbert_spark_pkg.zip"
+    src = Path(_REPO) / "colbert_spark"
+    files = sorted(src.rglob("*.py"))
+    digest = hashlib.sha1()
+    for p in files:
+        digest.update(str(p.relative_to(src.parent)).encode())
+        digest.update(p.read_bytes())
+    zip_path = f"/tmp/colbert_spark_pkg_{digest.hexdigest()[:12]}.zip"
     if not Path(zip_path).exists():
-        src = Path(_REPO) / "colbert_spark"
         with zipfile.ZipFile(zip_path, "w") as zf:
-            for p in src.rglob("*.py"):
+            for p in files:
                 zf.write(p, p.relative_to(src.parent))
     try:
         spark.sparkContext.addPyFile(zip_path)

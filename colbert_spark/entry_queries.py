@@ -672,14 +672,9 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.near_dup_components(pairs)
 
 
-def q_create_triples(spark, sf_dir):
-    """Training-triples mining (utility/supervision/triples.py analog):
-    label the BM25 top-50 with tf-top-3 pseudo-qrels, take positives by
-    the reference's greedy slot rule ((2,10),(1,50)), and pair each with
-    5 hash-sampled negatives — the (qid, pos, neg) supervision table a
-    training pipeline consumes."""
-    from colbert_spark.operators.triples import create_triples
-
+def _labeled_top50(spark, sf_dir):
+    """Shared triples fixture: BM25 top-50 labeled with tf-top-3
+    pseudo-qrels → (qid, pid, rank, label)."""
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
     token_df = analysis.tokenize_docs(docs, id_col="pid", text_col="text",
                                       maxlen=220)
@@ -697,13 +692,39 @@ def q_create_triples(spark, sf_dir):
         .withColumn("label", F.lit(1))
     )
     ranking = brute.bm25_topk(docs, _query_df(spark), k=50)
-    labeled = (
+    return (
         ranking.join(qrels, ["qid", "pid"], "left")
         .fillna({"label": 0})
         .select("qid", "pid", "rank", "label")
     )
+
+
+def q_create_triples(spark, sf_dir):
+    """Training-triples mining (utility/supervision/triples.py analog):
+    label the BM25 top-50 with tf-top-3 pseudo-qrels, take positives by
+    the reference's greedy slot rule ((2,10),(1,50)), and pair each with
+    5 hash-sampled negatives — the (qid, pos, neg) supervision table a
+    training pipeline consumes."""
+    from colbert_spark.operators.triples import create_triples
+
+    labeled = _labeled_top50(spark, sf_dir)
     return create_triples(labeled, positives=((2, 10), (1, 50)), depth=50,
                           num_negatives=5, portable_hash=True)
+
+
+def q_create_triples_permissive(spark, sf_dir):
+    """create_triples with BOTH remaining branches live (triples.py:30-34
+    biased split, :57-68 permissive mode): refused label-1 rows become
+    extra positives with 2 past-rank negatives each, and strict negatives
+    draw 2+2 from the top-10-by-rank pool vs the tail when the tail is
+    large enough (plain hash order otherwise — both arms exercised across
+    the query set)."""
+    from colbert_spark.operators.triples import create_triples
+
+    labeled = _labeled_top50(spark, sf_dir)
+    return create_triples(labeled, positives=((2, 10), (1, 50)), depth=50,
+                          num_negatives=4, biased=10, permissive=True,
+                          permissive_negatives=2, portable_hash=True)
 
 
 def q_create_triples_self(spark, sf_dir):
@@ -718,6 +739,22 @@ def q_create_triples_self(spark, sf_dir):
     return create_triples_self(
         ranking, npositives=1, depth_positive=3, cutoff_negative=10,
         depth_negative=50, num_sampled=6, portable_hash=True,
+    )
+
+
+def q_create_triples_self_biased(spark, sf_dir):
+    """create_triples_self's biased arm (self_training.py:19-25
+    sample_negatives 50/50 split between the first-100 negatives and the
+    rest): at this fixture the pool is ≤ 40 rows so the top group covers
+    it and the split yields its half-quota — the documented
+    pools-smaller-than-quota softening, replayed by the oracle."""
+    from colbert_spark.operators.triples import create_triples_self
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    ranking = brute.bm25_topk(docs, _query_df(spark), k=50)
+    return create_triples_self(
+        ranking, npositives=1, depth_positive=3, cutoff_negative=10,
+        depth_negative=50, num_sampled=6, biased=True, portable_hash=True,
     )
 
 
@@ -860,7 +897,9 @@ QUERIES = {
     "dedup_simhash128": q_dedup_simhash128,
     "dedup_clusters": q_dedup_clusters,
     "create_triples": q_create_triples,
+    "create_triples_permissive": q_create_triples_permissive,
     "create_triples_self": q_create_triples_self,
+    "create_triples_self_biased": q_create_triples_self_biased,
     "hop_search": q_hop_search,
     "search_after_update": q_search_after_update,
     "multimodal_frames": q_multimodal_frames,
@@ -1533,6 +1572,89 @@ SELECT t.qid, t.pos, n.neg
 FROM taken t JOIN negs n ON t.qid = n.qid AND n.hr <= 5
 """
 
+# Replays create_triples(num_negatives=4, biased=10, permissive=True,
+# permissive_negatives=2): permissive collapses the greedy rule to
+# positive-index < M(rank) (counter grows on every label-1 row,
+# triples.py:57-68); refused positives get 2 past-rank negatives each;
+# strict negatives use the 50/50 top-10/tail split when the tail is at
+# least as large (:30-34), plain hash order otherwise.
+ORACLE["create_triples_permissive"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+tfsum AS (
+  SELECT qt.qid, tf.pid, sum(tf.tf) AS tfs
+  FROM qt JOIN tf USING (term) GROUP BY qt.qid, tf.pid
+),
+qrels AS (
+  SELECT qid, pid FROM (
+    SELECT qid, pid,
+           row_number() OVER (PARTITION BY qid ORDER BY tfs DESC, pid) AS r
+    FROM tfsum
+  ) WHERE r <= 3
+),
+lab AS (
+  SELECT rk.qid, rk.pid, rk.rank,
+         CASE WHEN qr.pid IS NOT NULL THEN 1 ELSE 0 END AS label
+  FROM (SELECT qid, pid, rank FROM ranked WHERE rank <= 50) rk
+  LEFT JOIN qrels qr ON rk.qid = qr.qid AND rk.pid = qr.pid
+),
+posf AS (
+  SELECT qid, pid, rank,
+         CASE WHEN row_number() OVER (PARTITION BY qid ORDER BY rank) - 1
+                   < greatest(CASE WHEN rank <= 10 THEN 2 ELSE 0 END,
+                              CASE WHEN rank <= 50 THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS ok
+  FROM lab WHERE label = 1
+),
+taken AS (SELECT qid, pid AS pos FROM posf WHERE ok = 1),
+refused AS (SELECT qid, pid AS pos, rank AS neg_start FROM posf WHERE ok = 0),
+negs0 AS (
+  SELECT qid, pid,
+         row_number() OVER (PARTITION BY qid ORDER BY rank) AS nr,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY {_SQL_H64.format(x="concat_ws('-', 42, qid, pid)")},
+                    pid) AS hr
+  FROM lab WHERE label = 0
+),
+negs1 AS (
+  SELECT qid, pid, nr, hr,
+         row_number() OVER (
+           PARTITION BY qid, (nr <= 10)
+           ORDER BY {_SQL_H64.format(x="concat_ws('-', 42, qid, pid)")},
+                    pid) AS hg,
+         sum(CASE WHEN nr <= 10 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY qid) AS n_top,
+         sum(CASE WHEN nr > 10 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY qid) AS n_rest
+  FROM negs0
+),
+sel AS (
+  SELECT qid, pid AS neg FROM negs1
+  WHERE CASE WHEN n_top < n_rest THEN hg <= 2 ELSE hr <= 4 END
+),
+strict AS (
+  SELECT t.qid, t.pos, s.neg FROM taken t JOIN sel s ON t.qid = s.qid
+),
+negs_ord AS (
+  SELECT qid, pid AS neg,
+         row_number() OVER (PARTITION BY qid ORDER BY rank, pid) AS nrr
+  FROM lab WHERE label = 0
+),
+perm AS (
+  SELECT qid, pos, neg FROM (
+    SELECT r.qid, r.pos, n.neg,
+           row_number() OVER (
+             PARTITION BY r.qid, r.pos
+             ORDER BY {_SQL_H64.format(x="concat_ws('-', 42, r.qid, r.pos, n.neg)")},
+                      n.neg) AS pr
+    FROM refused r JOIN negs_ord n ON r.qid = n.qid AND n.nrr > r.neg_start
+  ) WHERE pr <= 2
+)
+SELECT qid, pos, neg FROM strict
+UNION ALL
+SELECT qid, pos, neg FROM perm
+"""
+
 # self_training.py:28-57 replay: rank-cutoff pools over the BM25 ranking,
 # hash-order negative sampling, one per-negative hash-drawn positive
 ORACLE["create_triples_self"] = f"""
@@ -1555,6 +1677,42 @@ pairs AS (
                     p.pos) AS pr
   FROM (SELECT qid, neg FROM negs WHERE hr <= 6) s
   JOIN pos_pool p ON s.qid = p.qid
+)
+SELECT qid, pos, neg FROM pairs WHERE pr = 1
+"""
+
+# self_training.py:19-25 biased arm: 50/50 split between the first-100
+# negatives (by rank order) and the rest; at this fixture the pool is
+# ≤ 40 rows so the split yields its top-half quota of 3 (the documented
+# pools-smaller-than-quota softening).
+ORACLE["create_triples_self_biased"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+rk AS (SELECT qid, pid, rank FROM ranked WHERE rank <= 50),
+pos_pool AS (SELECT qid, pid AS pos FROM rk WHERE rank <= 3),
+negs0 AS (
+  SELECT qid, pid,
+         row_number() OVER (PARTITION BY qid ORDER BY rank, pid) AS nr
+  FROM rk WHERE rank > 10 AND rank <= 50
+),
+negs AS (
+  SELECT qid, pid AS neg, nr,
+         row_number() OVER (
+           PARTITION BY qid, (nr <= 100)
+           ORDER BY {_SQL_H64.format(x="concat_ws('-', 42, qid, pid)")},
+                    pid) AS hg
+  FROM negs0
+),
+sel AS (
+  SELECT qid, neg FROM negs
+  WHERE CASE WHEN nr <= 100 THEN hg <= 3 ELSE hg <= 3 END
+),
+pairs AS (
+  SELECT s.qid, p.pos, s.neg,
+         row_number() OVER (
+           PARTITION BY s.qid, s.neg
+           ORDER BY {_SQL_H64.format(x="concat_ws('-', 42, s.qid, s.neg, p.pos)")},
+                    p.pos) AS pr
+  FROM sel s JOIN pos_pool p ON s.qid = p.qid
 )
 SELECT qid, pos, neg FROM pairs WHERE pr = 1
 """
