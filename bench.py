@@ -97,6 +97,16 @@ def main() -> None:
     timed("dedup_simhash128_10",
           lambda: dedup.simhash_near_pairs128(all_docs, max_hamming=10).count())
 
+    # r4: embedding near-dup through the slim LSH self-join (band rows
+    # carry (id, bucket) only; vectors re-attach post-dedup — PLANS.md)
+    from colbert_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    timed("dedup_embedding_lsh",
+          lambda: similarity.cosine_near_pairs(
+              emb, threshold=0.95, blocking="lsh").count())
+
     # new in r2: rerank-over-candidates through the allow-list scatter path
     allow = searcher.search_all(queries, k=20).df.select("qid", "pid")
     allow_rows = allow.collect()

@@ -342,6 +342,7 @@ def cosine_near_pairs(
     blocking: str = "lsh",
     n_planes: int = 8,
     n_tables: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs → (a, b, sim ≥ threshold),
     a < b. The dedup-family twin of the ANN top-k operators.
@@ -377,7 +378,8 @@ def cosine_near_pairs(
                       F.col("nv").alias("nb"))
         pairs = a.join(b, F.col("a") < F.col("b"))
     elif blocking == "lsh":
-        dim = len(items.select(vec_col).first()[0])
+        if dim is None:  # pass dim to skip this one driver action
+            dim = len(items.select(vec_col).first()[0])
         tables = [_hyperplanes(dim, n_planes, seed=42 + 97 * t)
                   for t in range(n_tables)]
         # both re-attach joins read this; one (id, vec, norm) row per doc
