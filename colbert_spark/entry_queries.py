@@ -807,6 +807,49 @@ def q_search_after_update(spark, sf_dir):
                       "score")
 
 
+def q_search_after_stream_append(spark, sf_dir):
+    """Streaming incremental maintenance end-to-end (§2.9 streaming
+    analog, streaming/indexing.py): tombstone 30 pids, then stream the
+    same docs back through stream_index_append — a file-per-trigger
+    Structured Streaming source driving IndexUpdater.add micro-batch by
+    micro-batch (the first batch forces a compaction, the rest append
+    frozen-stats segments; exactly-once via the batch-id ledger). The
+    base index covers the FULL corpus, so frozen stats equal full-corpus
+    stats and the searched result must be bit-identical to the untouched
+    full-corpus BM25 oracle."""
+    import hashlib
+    import tempfile
+
+    from colbert_spark.plans.config import ColBERTConfig
+    from colbert_spark.plans.index_updater import IndexUpdater
+    from colbert_spark.plans.indexer import Indexer
+    from colbert_spark.plans.searcher import Searcher
+    from colbert_spark.streaming.indexing import stream_index_append
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    name = "entryq_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
+                        index_name=name)
+    Indexer(cfg).index(name, docs, overwrite=True)
+    IndexUpdater(name, spark, cfg).remove(list(range(30)))
+
+    work = tempfile.mkdtemp(prefix="colbert_stream_append_")
+    readd = docs.filter(F.col("pid") < 30)
+    readd.filter(F.col("pid") < 15).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{work}/src")
+    readd.filter(F.col("pid") >= 15).coalesce(1).write.mode("append") \
+        .parquet(f"{work}/src")
+    stream = (
+        spark.readStream.schema(readd.schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{work}/src")
+    )
+    q = stream_index_append(stream, name, cfg, f"{work}/ckpt")
+    q.awaitTermination(300)
+    out = Searcher(name, spark, cfg).search_all(_query_df(spark), k=10).df
+    return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
+                      "score")
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing over binary payloads: row explosion,
     deterministic indices/timestamps/sizes (the chopper is the stubbed
@@ -902,6 +945,7 @@ QUERIES = {
     "create_triples_self_biased": q_create_triples_self_biased,
     "hop_search": q_hop_search,
     "search_after_update": q_search_after_update,
+    "search_after_stream_append": q_search_after_stream_append,
     "multimodal_frames": q_multimodal_frames,
     "dedup_embedding": q_dedup_embedding,
     "token_count_bpe": q_token_count_bpe,
@@ -1783,6 +1827,14 @@ SELECT pid, rank, score FROM (
 # remove+re-add on a full-corpus index must reproduce the untouched
 # full-corpus ranking exactly (stats were frozen at full-corpus values)
 ORACLE["search_after_update"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
+SELECT qid, pid, rank, score FROM ranked WHERE rank <= 10
+"""
+
+# Streaming maintenance: identical identity to search_after_update —
+# remove + stream-re-add of the same docs under frozen full-corpus stats
+# must reproduce the untouched full-corpus ranking bit-for-bit.
+ORACLE["search_after_stream_append"] = f"""
 WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
 SELECT qid, pid, rank, score FROM ranked WHERE rank <= 10
 """
