@@ -850,6 +850,49 @@ def q_search_after_stream_append(spark, sf_dir):
                       "score")
 
 
+def q_url_latest_capture(spark, sf_dir):
+    """Common-Crawl URL curation (webcrawl.py): canonicalize messy raw
+    URLs (casing, default ports, fragments, tracking params, unsorted
+    query strings, trailing slashes) and keep the newest capture per
+    canonical URL, joined with the per-page crawl-history rollup. The
+    driver's documents table has no url column, so the query constructs
+    5 deterministic raw-URL variants per synthetic page from doc_id —
+    identically in the DuckDB oracle — giving 2 canonical groups per page
+    (with/without surviving query params), each with a known winner."""
+    from colbert_spark.operators.webcrawl import capture_stats, latest_capture
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select("doc_id")
+    page = F.expr("doc_id div 5").cast("string")
+    k = F.expr("(doc_id div 5) % 7").cast("string")
+    v = F.col("doc_id") % 5
+    base = F.concat(F.lit("example"), k, F.lit(".com/page/"), page)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), base, F.lit("/")))
+        .when(v == 1, F.concat(F.lit("HTTPS://EXAMPLE"), k,
+                               F.lit(".COM:443/page/"), page))
+        .when(v == 2, F.concat(F.lit("https://"), base,
+                               F.lit("?utm_source=x&b=2&a=1")))
+        .when(v == 3, F.concat(F.lit("https://"), base, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?a=1&b=2")))
+    )
+    rows = d.select("doc_id", url.alias("url"),
+                    F.col("doc_id").cast("long").alias("ts"))
+    lc = latest_capture(rows, url_col="url", ts_col="ts").select(
+        "canonical_url", F.col("doc_id").alias("kept_doc_id")
+    )
+    st = capture_stats(rows, url_col="url", ts_col="ts").select(
+        "canonical_url",
+        F.col("n_captures").cast("long").alias("n_captures"),
+        F.col("n_raw_urls").cast("long").alias("n_raw_urls"),
+        F.col("first_ts").cast("long").alias("first_ts"),
+        F.col("last_ts").cast("long").alias("last_ts"),
+    )
+    return lc.join(st, "canonical_url").select(
+        "canonical_url", "kept_doc_id", "n_captures", "n_raw_urls",
+        "first_ts", "last_ts",
+    )
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing over binary payloads: row explosion,
     deterministic indices/timestamps/sizes (the chopper is the stubbed
@@ -947,6 +990,7 @@ QUERIES = {
     "search_after_update": q_search_after_update,
     "search_after_stream_append": q_search_after_stream_append,
     "multimodal_frames": q_multimodal_frames,
+    "url_latest_capture": q_url_latest_capture,
     "dedup_embedding": q_dedup_embedding,
     "token_count_bpe": q_token_count_bpe,
     "ann_lsh_top5": q_ann_lsh_top5,
@@ -1829,6 +1873,76 @@ SELECT pid, rank, score FROM (
 ORACLE["search_after_update"] = f"""
 WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
 SELECT qid, pid, rank, score FROM ranked WHERE rank <= 10
+"""
+
+# URL canonicalization + latest-capture (webcrawl.py): same regex parse,
+# same param-filter/sort, same windows — the canonicalization contract is
+# mirrored expression-for-expression.
+_SQL_URL_RE = r"^([^:/?#]+)://([^:/?#]+)(?::(\d+))?(/[^?#]*)?(?:\?([^#]*))?(?:#.*)?$"
+ORACLE["url_latest_capture"] = f"""
+WITH d AS (
+  SELECT doc_id, doc_id // 5 AS page, doc_id % 5 AS v
+  FROM documents WHERE doc_id < 500
+),
+u AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'https://example' || CAST(page % 7 AS VARCHAR)
+                  || '.com/page/' || CAST(page AS VARCHAR) || '/'
+      WHEN 1 THEN 'HTTPS://EXAMPLE' || CAST(page % 7 AS VARCHAR)
+                  || '.COM:443/page/' || CAST(page AS VARCHAR)
+      WHEN 2 THEN 'https://example' || CAST(page % 7 AS VARCHAR)
+                  || '.com/page/' || CAST(page AS VARCHAR)
+                  || '?utm_source=x&b=2&a=1'
+      WHEN 3 THEN 'https://example' || CAST(page % 7 AS VARCHAR)
+                  || '.com/page/' || CAST(page AS VARCHAR) || '#frag'
+      ELSE 'https://example' || CAST(page % 7 AS VARCHAR)
+                  || '.com/page/' || CAST(page AS VARCHAR) || '?a=1&b=2'
+    END AS url,
+    CAST(doc_id AS BIGINT) AS ts
+  FROM d
+),
+p AS (
+  SELECT doc_id, url, ts,
+         lower(regexp_extract(url, '{_SQL_URL_RE}', 1)) AS scheme,
+         lower(regexp_extract(url, '{_SQL_URL_RE}', 2)) AS host,
+         regexp_extract(url, '{_SQL_URL_RE}', 3) AS port,
+         regexp_replace(regexp_extract(url, '{_SQL_URL_RE}', 4), '/+$', '')
+           AS path,
+         coalesce(array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(url, '{_SQL_URL_RE}', 5), '&'),
+           x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') AS qs
+  FROM u
+),
+c AS (
+  SELECT doc_id, url, ts,
+         CASE WHEN scheme = '' THEN url ELSE
+           scheme || '://' || host ||
+           CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+                THEN '' ELSE ':' || port END ||
+           path ||
+           CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+         END AS canonical_url
+  FROM p
+),
+lc AS (
+  SELECT canonical_url, doc_id AS kept_doc_id,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY ts DESC, url ASC) AS rn
+  FROM c
+),
+st AS (
+  SELECT canonical_url,
+         CAST(count(*) AS BIGINT) AS n_captures,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_raw_urls,
+         CAST(min(ts) AS BIGINT) AS first_ts,
+         CAST(max(ts) AS BIGINT) AS last_ts
+  FROM c GROUP BY canonical_url
+)
+SELECT l.canonical_url, l.kept_doc_id,
+       s.n_captures, s.n_raw_urls, s.first_ts, s.last_ts
+FROM lc l JOIN st s USING (canonical_url) WHERE l.rn = 1
 """
 
 # Streaming maintenance: identical identity to search_after_update —

@@ -1,0 +1,101 @@
+"""Common-Crawl-style URL curation: canonicalization, latest-capture
+dedup, and capture statistics over the (url, warc_ts, …) web-page table
+shape (BASELINE.json input_hint; datagen.DOCS_SCHEMA).
+
+A crawl re-captures the same page under many raw spellings — casing in
+scheme/host, default ports, fragments, tracking parameters, shuffled
+query order, trailing slashes — and across many snapshots. The standard
+pipeline canonicalizes, then keeps the newest capture per canonical URL.
+Everything here is whole-stage-codegen expressions (regex parse + array
+ops, no UDF) and one hash-partitioned window per dedup — uniform keys
+(URLs), no skew concern beyond what AQE handles.
+
+Canonicalization contract (mirrored expression-for-expression in the
+DuckDB oracle `url_latest_capture`):
+
+  1. parse ^scheme://host[:port][path][?query][#fragment]$
+  2. scheme, host → lowercase
+  3. fragment dropped
+  4. port dropped when it is the scheme default (http:80, https:443)
+  5. path: trailing slashes stripped ('/a/' → '/a', '/' → '')
+  6. query: params split on '&', empties and 'utm_'-prefixed tracking
+     params dropped, remainder SORTED and rejoined; '?' dropped if none
+     survive
+  7. non-matching strings (no scheme) pass through unchanged
+
+Reference note: the reference engine has no crawl-curation surface (its
+collections are pre-cleaned TSVs, colbert/data/collection.py); these
+operators are the upstream step a web-scale corpus needs before
+`sources/collection.assign_pids` hands stable pids to the Indexer.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+#: host is greedy but cannot cross ':' '/' '?' '#'; the path group must
+#: start with '/' (a lazy host + bare [^?#]* path lets the path swallow
+#: the hostname — caught by the oracle comparison)
+_URL_RE = r"^([^:/?#]+)://([^:/?#]+)(?::(\d+))?(/[^?#]*)?(?:\?([^#]*))?(?:#.*)?$"
+
+
+def canonical_url(col) -> Column:
+    """Canonical form of an absolute http(s) URL (contract above)."""
+    url = F.col(col) if isinstance(col, str) else col
+    g = lambda i: F.regexp_extract(url, _URL_RE, i)  # noqa: E731
+    scheme = F.lower(g(1))
+    host = F.lower(g(2))
+    port = g(3)
+    path = F.regexp_replace(g(4), "/+$", "")
+    params = F.filter(
+        F.split(g(5), "&"),
+        lambda x: (x != "") & ~F.startswith(x, F.lit("utm_")),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when((port == "") | default_port, F.lit(""))
+         .otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(scheme == "", url).otherwise(canon)
+
+
+def latest_capture(docs: DataFrame, url_col: str = "url",
+                   ts_col: str = "warc_ts") -> DataFrame:
+    """One row per canonical URL: the newest capture (ties broken by raw
+    url, then remaining column order is irrelevant — the winner is fully
+    determined). Adds `canonical_url`; keeps every input column."""
+    canon = canonical_url(url_col).alias("canonical_url")
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.desc(ts_col), F.asc(url_col)
+    )
+    return (
+        docs.select("*", canon)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def capture_stats(docs: DataFrame, url_col: str = "url",
+                  ts_col: str = "warc_ts") -> DataFrame:
+    """(canonical_url, n_captures, n_raw_urls, first_ts, last_ts) — the
+    per-page crawl-history rollup (map-side-combinable aggregates)."""
+    return (
+        docs.select(canonical_url(url_col).alias("canonical_url"),
+                    F.col(url_col).alias("_u"), F.col(ts_col).alias("_t"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.countDistinct("_u").alias("n_raw_urls"),
+            F.min("_t").alias("first_ts"),
+            F.max("_t").alias("last_ts"),
+        )
+    )

@@ -213,6 +213,56 @@ def test_pack_sequences_tiles_streams_exactly(spark):
     assert sorted(map(key, out)) == sorted(map(key, again))
 
 
+def test_canonical_url_contract(spark):
+    """The documented canonicalization rules, one case each — scheme/host
+    case, default vs real ports, fragments, utm stripping + param sort,
+    trailing slashes, root path, and the pass-through for non-URLs."""
+    from colbert_spark.operators.webcrawl import canonical_url
+
+    cases = [
+        ("HTTPS://EXAMPLE.COM:443/A/b/", "https://example.com/A/b"),
+        ("http://h.com:80/x", "http://h.com/x"),
+        ("http://h.com:8080/x", "http://h.com:8080/x"),
+        ("https://h.com/x#frag", "https://h.com/x"),
+        ("https://h.com/x?utm_source=a&b=2&a=1", "https://h.com/x?a=1&b=2"),
+        ("https://h.com/x?utm_campaign=z", "https://h.com/x"),
+        ("https://h.com/", "https://h.com"),
+        ("https://h.com", "https://h.com"),
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["c"]
+           for r in df.select("url", canonical_url("url").alias("c")).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_latest_capture_keeps_newest_per_canonical(spark):
+    """Real-timestamp path over the datagen web-page shape: duplicate
+    captures of a page under messy raw spellings collapse to one row —
+    the newest warc_ts — and capture_stats counts the history."""
+    import datetime as dt
+
+    from colbert_spark.operators.webcrawl import capture_stats, latest_capture
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("https://a.com/p1", t0, "old"),
+        ("HTTPS://A.COM:443/p1#x", t0 + dt.timedelta(days=2), "newest"),
+        ("https://a.com/p1/", t0 + dt.timedelta(days=1), "mid"),
+        ("https://b.com/q?z=1&a=2", t0, "only"),
+        ("https://b.com/q?a=2&utm_s=x&z=1", t0 - dt.timedelta(days=1), "older"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    kept = {r["canonical_url"]: r["text"]
+            for r in latest_capture(docs).collect()}
+    assert kept == {"https://a.com/p1": "newest",
+                    "https://b.com/q?a=2&z=1": "only"}
+    st = {r["canonical_url"]: (r["n_captures"], r["n_raw_urls"])
+          for r in capture_stats(docs).collect()}
+    assert st == {"https://a.com/p1": (3, 3), "https://b.com/q?a=2&z=1": (2, 2)}
+
+
 def test_sample_fraction_threshold_rounds_not_truncates(spark):
     """int(0.29 * 1e6) truncates to 289999 (binary-float error) — one
     bucket short of the advertised rate. The filter literal must be the
