@@ -850,6 +850,24 @@ def q_search_after_stream_append(spark, sf_dir):
                       "score")
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 symmetric max-abs embedding quantization (operators/
+    quantize.py — the vector-payload codec; reference residual-codec
+    analog). floor(x+0.5) rounding is the one rule Spark and DuckDB
+    compute identically, so the oracle replays the codec bit-for-bit."""
+    from colbert_spark.operators.quantize import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    out = quantize_embeddings(emb, bits=8)
+    # the operator returns q as array<int>; the oracle row carries it as a
+    # joined string — engine-portable exact elementwise comparison without
+    # relying on the driver's list-type canonicalization
+    return out.select(
+        "vec_id", F.round("scale", 6).alias("scale"),
+        F.array_join(F.col("q"), ",").alias("q_str"),
+    )
+
+
 def q_url_latest_capture(spark, sf_dir):
     """Common-Crawl URL curation (webcrawl.py): canonicalize messy raw
     URLs (casing, default ports, fragments, tracking params, unsorted
@@ -991,6 +1009,7 @@ QUERIES = {
     "search_after_stream_append": q_search_after_stream_append,
     "multimodal_frames": q_multimodal_frames,
     "url_latest_capture": q_url_latest_capture,
+    "quantize_embeddings": q_quantize_embeddings,
     "dedup_embedding": q_dedup_embedding,
     "token_count_bpe": q_token_count_bpe,
     "ann_lsh_top5": q_ann_lsh_top5,
@@ -1873,6 +1892,26 @@ SELECT pid, rank, score FROM (
 ORACLE["search_after_update"] = f"""
 WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
 SELECT qid, pid, rank, score FROM ranked WHERE rank <= 10
+"""
+
+# int8 embedding quantization (quantize.py): identical float64 op order
+# (x * L) / scale, floor(+0.5) rounding, clamp, all-zero guard.
+ORACLE["quantize_embeddings"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 300
+),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e
+)
+SELECT vec_id,
+       round(coalesce(scale, 0), 6) AS scale,
+       array_to_string(
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(greatest(-127, least(127,
+                   floor(x * 127 / scale + 0.5))) AS INTEGER)) END,
+         ',') AS q_str
+FROM s
 """
 
 # URL canonicalization + latest-capture (webcrawl.py): same regex parse,

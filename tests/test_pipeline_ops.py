@@ -213,6 +213,45 @@ def test_pack_sequences_tiles_streams_exactly(spark):
     assert sorted(map(key, out)) == sorted(map(key, again))
 
 
+def test_quantize_roundtrip_error_bounds(spark):
+    """int8 quantize → dequantize: per-element error ≤ scale/(2·127) (+FP
+    slack), cosine(v, v̂) ≥ 0.999, and all-zero vectors survive. 4-bit
+    shows the bits knob coarsening error as expected."""
+    import numpy as np
+
+    from colbert_spark.operators.quantize import (
+        dequantize_embeddings, quantize_embeddings)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    zero = spark.createDataFrame(
+        [(9999, [0.0] * len(emb.first()["embedding"]))],
+        "vec_id long, embedding array<double>")
+    both = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding")).unionByName(zero)
+    orig = {r["vec_id"]: np.array(r["embedding"]) for r in both.collect()}
+    back = {r["vec_id"]: np.array(r["embedding"])
+            for r in dequantize_embeddings(
+                quantize_embeddings(both, bits=8), bits=8).collect()}
+    assert (back[9999] == 0).all()
+    errs8 = []
+    for vid, v in orig.items():
+        if vid == 9999:
+            continue
+        vh = back[vid]
+        bound = np.abs(v).max() / (2 * 127) * 1.0001
+        assert np.abs(v - vh).max() <= bound, vid
+        cos = v @ vh / (np.linalg.norm(v) * np.linalg.norm(vh))
+        assert cos >= 0.999, (vid, cos)
+        errs8.append(np.abs(v - vh).max())
+    back4 = {r["vec_id"]: np.array(r["embedding"])
+             for r in dequantize_embeddings(
+                 quantize_embeddings(both, bits=4), bits=4).collect()}
+    err4 = np.mean([np.abs(orig[v] - back4[v]).max()
+                    for v in orig if v != 9999])
+    assert err4 > np.mean(errs8)  # fewer bits → coarser
+
+
 def test_canonical_url_contract(spark):
     """The documented canonicalization rules, one case each — scheme/host
     case, default vs real ports, fragments, utm stripping + param sort,
