@@ -52,9 +52,14 @@ def _ship_package(spark: SparkSession) -> None:
         digest.update(p.read_bytes())
     zip_path = f"/tmp/colbert_spark_pkg_{digest.hexdigest()[:12]}.zip"
     if not Path(zip_path).exists():
-        with zipfile.ZipFile(zip_path, "w") as zf:
+        # write-then-rename: a concurrent driver (pytest + check script)
+        # or a crash mid-write must never leave a truncated zip at the
+        # final path — exists() would short-circuit on it forever
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
             for p in files:
                 zf.write(p, p.relative_to(src.parent))
+        os.replace(tmp, zip_path)
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:

@@ -777,6 +777,34 @@ def q_hop_search(spark, sf_dir):
     )
 
 
+def _indexed_with_removed(spark, sf_dir, tag):
+    """Shared §2.9 fixture: full-corpus index named for (tag, sf_dir) with
+    pids 0-29 tombstoned. Returns (cfg, index_name, docs)."""
+    import hashlib
+
+    from colbert_spark.plans.config import ColBERTConfig
+    from colbert_spark.plans.index_updater import IndexUpdater
+    from colbert_spark.plans.indexer import Indexer
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    name = f"entryq_{tag}_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
+                        index_name=name)
+    Indexer(cfg).index(name, docs, overwrite=True)
+    IndexUpdater(name, spark, cfg).remove(list(range(30)))
+    return cfg, name, docs
+
+
+def _search_ranked(spark, cfg, name):
+    """Shared §2.9 result shape: search the fixed query set, rank cast to
+    BIGINT (the driver's type rule)."""
+    from colbert_spark.plans.searcher import Searcher
+
+    out = Searcher(name, spark, cfg).search_all(_query_df(spark), k=10).df
+    return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
+                      "score")
+
+
 def q_search_after_update(spark, sf_dir):
     """Incremental maintenance end-to-end (§2.9, reference
     colbert/index_updater.py remove/add/persist): tombstone 30 pids, then
@@ -786,25 +814,11 @@ def q_search_after_update(spark, sf_dir):
     full-corpus stats, so the result must be bit-identical to the
     untouched full-corpus BM25 oracle. Exercises tombstones, coalesce,
     append, and tombstone-clearing in one driver-checked query."""
-    import hashlib
-
-    from colbert_spark.plans.config import ColBERTConfig
     from colbert_spark.plans.index_updater import IndexUpdater
-    from colbert_spark.plans.indexer import Indexer
-    from colbert_spark.plans.searcher import Searcher
 
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
-    name = "entryq_upd_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
-                        index_name=name)
-    Indexer(cfg).index(name, docs, overwrite=True)
-    up = IndexUpdater(name, spark, cfg)
-    up.remove(list(range(30)))
-    up.add(docs.filter(F.col("pid") < 30))
-    searcher = Searcher(name, spark, cfg)
-    out = searcher.search_all(_query_df(spark), k=10).df
-    return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
-                      "score")
+    cfg, name, docs = _indexed_with_removed(spark, sf_dir, "upd")
+    IndexUpdater(name, spark, cfg).add(docs.filter(F.col("pid") < 30))
+    return _search_ranked(spark, cfg, name)
 
 
 def q_search_after_stream_append(spark, sf_dir):
@@ -817,22 +831,11 @@ def q_search_after_stream_append(spark, sf_dir):
     base index covers the FULL corpus, so frozen stats equal full-corpus
     stats and the searched result must be bit-identical to the untouched
     full-corpus BM25 oracle."""
-    import hashlib
     import tempfile
 
-    from colbert_spark.plans.config import ColBERTConfig
-    from colbert_spark.plans.index_updater import IndexUpdater
-    from colbert_spark.plans.indexer import Indexer
-    from colbert_spark.plans.searcher import Searcher
     from colbert_spark.streaming.indexing import stream_index_append
 
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
-    name = "entryq_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
-                        index_name=name)
-    Indexer(cfg).index(name, docs, overwrite=True)
-    IndexUpdater(name, spark, cfg).remove(list(range(30)))
-
+    cfg, name, docs = _indexed_with_removed(spark, sf_dir, "stream")
     work = tempfile.mkdtemp(prefix="colbert_stream_append_")
     readd = docs.filter(F.col("pid") < 30)
     readd.filter(F.col("pid") < 15).coalesce(1).write.mode("overwrite") \
@@ -844,10 +847,11 @@ def q_search_after_stream_append(spark, sf_dir):
         .option("maxFilesPerTrigger", 1).parquet(f"{work}/src")
     )
     q = stream_index_append(stream, name, cfg, f"{work}/ckpt")
-    q.awaitTermination(300)
-    out = Searcher(name, spark, cfg).search_all(_query_df(spark), k=10).df
-    return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
-                      "score")
+    # awaitTermination returns False on TIMEOUT without raising — a
+    # partially-drained stream must fail loudly here, not surface as a
+    # baffling value-hash mismatch downstream
+    assert q.awaitTermination(300), "stream append did not drain in 300s"
+    return _search_ranked(spark, cfg, name)
 
 
 def q_quantize_embeddings(spark, sf_dir):

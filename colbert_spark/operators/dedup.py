@@ -389,7 +389,7 @@ def simhash_near_pairs128(docs: DataFrame, max_hamming: int = 10,
         .alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
     for s in owned_sigs:
-        caching.register(s, "simhash128_near_pairs")
+        caching.register(s, "simhash_near_pairs128")
     return out
 
 

@@ -28,6 +28,7 @@ the partition level (bucket=) and the row-group level (term_id min/max).
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,8 +110,14 @@ class IndexCatalog:
 
     # --- json sidecars -----------------------------------------------------
     def write_json(self, name: str, obj: dict) -> None:
+        """Atomic: write-then-rename, so a crash mid-write can never leave
+        a torn sidecar (the stream-append ledger is re-read on every
+        micro-batch — a truncated JSON would wedge the stream until
+        hand-repaired)."""
         self.root.mkdir(parents=True, exist_ok=True)
-        (self.root / name).write_text(json.dumps(obj, indent=2, sort_keys=True))
+        tmp = self.root / f"{name}.{os.getpid()}.tmp"
+        tmp.write_text(json.dumps(obj, indent=2, sort_keys=True))
+        tmp.replace(self.root / name)
 
     def read_json(self, name: str) -> dict:
         return json.loads((self.root / name).read_text())

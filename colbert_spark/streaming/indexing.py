@@ -37,9 +37,17 @@ _LEDGER = "stream_append.json"
 
 
 def _apply_batch(cfg: ColBERTConfig, index: str, batch_df: DataFrame,
-                 batch_id: int, id_col: str, text_col: str) -> bool:
+                 batch_id: int, id_col: str, text_col: str,
+                 stream_key: str = "") -> bool:
     """Idempotently apply one micro-batch; returns True if it appended.
-    Module-level so tests can drive re-delivery directly."""
+    Module-level so tests can drive re-delivery directly.
+
+    Ledger entries are keyed (stream_key, batch_id), NOT bare batch_id:
+    Spark numbers every stream incarnation's batches from 0, so a second
+    stream (new checkpoint, new source) against the same index would
+    collide with the first stream's entries and silently drop its early
+    batches. stream_index_append passes its checkpoint_dir as the key —
+    one checkpoint == one batch-numbering domain."""
     from colbert_spark.plans.index_updater import IndexUpdater
 
     catalog = make_catalog(cfg)
@@ -47,13 +55,14 @@ def _apply_batch(cfg: ColBERTConfig, index: str, batch_df: DataFrame,
         ledger = catalog.read_json(_LEDGER)
     except FileNotFoundError:
         ledger = {"applied": []}
-    if batch_id in ledger["applied"]:
+    entry = f"{stream_key}#{batch_id}"
+    if entry in set(ledger["applied"]):
         return False
     if batch_df.take(1):
         IndexUpdater(index, batch_df.sparkSession, cfg).add(
             batch_df, id_col=id_col, text_col=text_col
         )
-    ledger["applied"].append(batch_id)
+    ledger["applied"].append(entry)
     catalog.write_json(_LEDGER, ledger)
     return True
 
@@ -73,13 +82,16 @@ def stream_index_append(
     batch-backfill trigger); False runs continuously. The checkpoint_dir
     must be dedicated to this (index, source) pair — reusing it against a
     rebuilt index replays nothing (Spark considers the source consumed)
-    while the rebuilt index has no ledger, so pair their lifetimes.
+    while the rebuilt index has no ledger, so pair their lifetimes. The
+    checkpoint_dir doubles as the ledger's stream key, so distinct
+    streams (distinct checkpoints) never collide on batch numbering.
     """
     cfg = ColBERTConfig.from_existing(config)
     cfg.index_name = index
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _apply_batch(cfg, index, batch_df, batch_id, id_col, text_col)
+        _apply_batch(cfg, index, batch_df, batch_id, id_col, text_col,
+                     stream_key=checkpoint_dir)
 
     writer = (
         stream_docs.writeStream.foreachBatch(apply_batch)

@@ -110,24 +110,24 @@ def test_iceberg_full_index_lifecycle(tmp_path):
     JVM would already be up without the jar and getOrCreate would reuse
     it."""
     import pyspark.sql.functions as F
-    from pyspark.sql import SparkSession
 
     from colbert_spark.operators import builder
     from colbert_spark.plans.index_updater import IndexUpdater
     from colbert_spark.plans.indexer import Indexer
     from colbert_spark.plans.searcher import Searcher
+    from colbert_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .appName("iceberg-contract")
-        .config("spark.jars", _ICEBERG_JAR)
-        .config("spark.sql.catalog.lake",
-                "org.apache.iceberg.spark.SparkCatalog")
-        .config("spark.sql.catalog.lake.type", "hadoop")
-        .config("spark.sql.catalog.lake.warehouse", str(tmp_path / "wh"))
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
+    # get_spark is the single session factory (CLAUDE.md): it exports the
+    # repo onto executor PYTHONPATH — without it the applyInPandas kernels
+    # fail with ModuleNotFoundError when run from outside the repo root
+    spark = get_spark(
+        app_name="iceberg-contract", cpus=4, shuffle_partitions=4,
+        extra_conf={
+            "spark.jars": _ICEBERG_JAR,
+            "spark.sql.catalog.lake": "org.apache.iceberg.spark.SparkCatalog",
+            "spark.sql.catalog.lake.type": "hadoop",
+            "spark.sql.catalog.lake.warehouse": str(tmp_path / "wh"),
+        },
     )
     try:
         docs = spark.createDataFrame(

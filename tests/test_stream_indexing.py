@@ -62,7 +62,7 @@ def test_stream_append_restores_removed_docs(spark, tmp_path):
     )
     ckpt = str(tmp_path / "stream_ckpt")
     q = stream_index_append(stream, "st1", cfg, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = timeout, fail loudly
     assert _rank(spark, cfg, "st1", queries) == before
 
     cat = IndexCatalog(str(pathlib.Path(cfg.index_root) / "st1"))
@@ -76,7 +76,7 @@ def test_stream_append_restores_removed_docs(spark, tmp_path):
         .option("maxFilesPerTrigger", 1).parquet(str(src)),
         "st1", cfg, ckpt,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     assert cat.read(spark, "postings").count() == n_blocks
     assert _rank(spark, cfg, "st1", queries) == before
 
@@ -97,3 +97,27 @@ def test_apply_batch_redelivery_is_idempotent(spark, tmp_path):
     assert cat.read(spark, "postings").count() == n_blocks
     pids, _, _ = Searcher("st2", spark, cfg).search("zzstreamterm", k=5)
     assert set(pids) == {1000, 1001}
+
+
+def test_second_stream_incarnation_gets_fresh_batch_ids(spark, tmp_path):
+    """Spark numbers every stream incarnation's batches from 0; the
+    ledger keys on (stream_key, batch_id), so a NEW stream (new
+    checkpoint) against the same index must not collide with the first
+    stream's batch 0 — before the key, its first batches were silently
+    dropped."""
+    cfg, docs, queries = _env(spark, tmp_path, "st3")
+    cat = IndexCatalog(str(pathlib.Path(cfg.index_root) / "st3"))
+    a = spark.createDataFrame([(2000, "zzfirststream only")],
+                              "pid long, text string")
+    b = spark.createDataFrame([(3000, "zzsecondstream only")],
+                              "pid long, text string")
+    assert _apply_batch(cfg, "st3", a, 0, "pid", "text",
+                        stream_key="ckptA") is True
+    # second incarnation, same batch_id 0, different stream → must apply
+    assert _apply_batch(cfg, "st3", b, 0, "pid", "text",
+                        stream_key="ckptB") is True
+    s = Searcher("st3", spark, cfg)
+    assert s.search("zzsecondstream", k=5)[0] == [3000]
+    # and re-delivery within each incarnation still no-ops
+    assert _apply_batch(cfg, "st3", b, 0, "pid", "text",
+                        stream_key="ckptB") is False
