@@ -166,31 +166,47 @@ def build_postings(
     `bucket` column for partition-pruned storage.
     """
     dict_slice = term_dict.select(
-        "term", "term_id", "idf",
+        "term", "term_id",
         F.greatest(
             F.lit(1),
             F.ceil(F.col("df") / F.lit(config.max_group_postings)),
         ).cast("long").alias("n_salts"),
     )
-    enriched = token_df.join(F.broadcast(dict_slice), "term").select(
-        "term_id", "pid", "tf", "doclen", "idf",
+    # idf is per-TERM — it re-attaches via a broadcast join AFTER the
+    # (term_id, salt) exchange (idf_table below), so the corpus-sized
+    # shuffle carries 5 longs/row instead of 5 longs + a high-entropy
+    # double (~17% fewer raw bytes, more compressed: idf doubles don't
+    # zstd well). The post-shuffle broadcast join preserves the exchange's
+    # hashpartitioning, so the groupBy adds no second exchange
+    # (plan-verified in PLANS.md).
+    slim = token_df.join(F.broadcast(dict_slice), "term").select(
+        "term_id", "pid", "tf", "doclen",
         F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),
     )
-    return _salted_blockify(enriched, avgdl, config)
+    return _salted_blockify(slim, avgdl, config,
+                            idf_table=term_dict.select("term_id", "idf"))
 
 
 def _salted_blockify(enriched: DataFrame, avgdl: float,
-                     config: ColBERTConfig) -> DataFrame:
-    """(term_id, pid, tf, doclen, idf, salt) → bounded-group posting blocks.
+                     config: ColBERTConfig,
+                     idf_table: DataFrame | None = None) -> DataFrame:
+    """(term_id, pid, tf, doclen[, idf], salt) → bounded-group posting
+    blocks.
 
     Shared by the fresh build and compaction: ONE repartition on
     (term_id, salt), the numpy block kernel per group, bucket column for
-    partition-pruned storage.
+    partition-pruned storage. When idf_table is given, `enriched` must
+    NOT carry idf — it broadcast-joins in AFTER the exchange (the join
+    preserves the exchange's partitioning, so the groupBy stays
+    exchange-free) and the corpus-sized shuffle never moves the
+    per-term double.
     """
     kernel = _make_block_builder(config.block_size, avgdl, config.k1, config.b)
-    blocks = enriched.repartition(
-        config.shuffle_partitions, "term_id", "salt"
-    ).groupBy("term_id", "salt").applyInPandas(kernel, schema=POSTINGS_SCHEMA)
+    rep = enriched.repartition(config.shuffle_partitions, "term_id", "salt")
+    if idf_table is not None:
+        rep = rep.join(F.broadcast(idf_table), "term_id")
+    blocks = rep.groupBy("term_id", "salt").applyInPandas(
+        kernel, schema=POSTINGS_SCHEMA)
     return blocks.withColumn(
         "bucket", F.pmod(F.col("term_id"), F.lit(config.index_partitions))
     )
@@ -246,7 +262,7 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
         catalog.read(ss, "term_dict").select("term_id", "idf")
         .join(counts, "term_id")
         .select(
-            "term_id", "idf",
+            "term_id",
             F.greatest(
                 F.lit(1),
                 F.ceil(F.col("n_post") / F.lit(config.max_group_postings)),
@@ -278,10 +294,13 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
             catalog.read(ss, "tombstones").select("pid"), "pid", "left_anti"
         )
     enriched = flat.join(F.broadcast(dict_slice), "term_id").select(
-        "term_id", "pid", "tf", "doclen", "idf",
+        "term_id", "pid", "tf", "doclen",
         F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),
     )
-    merged = _salted_blockify(enriched, avgdl, config)
+    merged = _salted_blockify(
+        enriched, avgdl, config,
+        idf_table=catalog.read(ss, "term_dict").select("term_id", "idf"),
+    )
     catalog.replace(
         merged.repartition(config.index_partitions, "bucket")
         .sortWithinPartitions("term_id", "block_id"),
