@@ -29,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import pyspark.sql.functions as F
 
-from colbert_spark import entry_queries
+from colbert_spark import caching, entry_queries
 from colbert_spark.plans.config import ColBERTConfig
 from colbert_spark.plans.indexer import Indexer
 from colbert_spark.plans.searcher import Searcher
@@ -63,6 +63,12 @@ def main() -> None:
             t0 = time.monotonic()
             fn()
             walls.append(time.monotonic() - t0)
+            # operators pin MEMORY_AND_DISK caches through caching.register
+            # (minhash sigs, brute token table, near-pair slim table …);
+            # release them outside the timed window so every probe — this
+            # one's next rep AND all later probes — runs from a clean cache
+            # state instead of inheriting a resident cache
+            caching.drain()
         timings[name] = round(min(walls), 3)
 
     cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",

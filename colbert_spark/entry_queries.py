@@ -1910,11 +1910,11 @@ s AS (
 )
 SELECT vec_id,
        round(coalesce(scale, 0), 6) AS scale,
-       array_to_string(
+       coalesce(array_to_string(
          CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
               ELSE list_transform(v, x -> CAST(greatest(-127, least(127,
                    floor(x * 127 / scale + 0.5))) AS INTEGER)) END,
-         ',') AS q_str
+         ','), '') AS q_str
 FROM s
 """
 

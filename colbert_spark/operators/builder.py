@@ -322,3 +322,143 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
     # drop cached listings so same-session readers see the compacted
     # segment set (no-op on a snapshot-versioned catalog)
     catalog.refresh(ss)
+
+
+def _make_pid_purge_kernel(bc_pids, k1: float, b: float, avgdl: float):
+    """mapInPandas kernel: drop the broadcast pid set from each posting
+    block IN PLACE (same term_id/block_id/bucket), recomputing
+    first/last/num/max_block_score/enc_bytes; blocks with no survivors
+    vanish; blocks the pid set never touches pass through byte-identical.
+
+    bc_pids is a Spark broadcast of a SORTED int64 numpy array — the range
+    reject (searchsorted against [first_pid, last_pid]) skips the decode
+    for the majority of blocks that share a file with a hit block but do
+    not themselves intersect the pid set.
+    """
+
+    def purge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from colbert_spark.functions.codec import (
+            decode_pids,
+            decode_tfs,
+        )
+
+        purge_arr = bc_pids.value
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                first = int(pdf["first_pid"].iat[i])
+                last = int(pdf["last_pid"].iat[i])
+                lo = int(np.searchsorted(purge_arr, first, side="left"))
+                hi = int(np.searchsorted(purge_arr, last, side="right"))
+                passthrough = (
+                    int(pdf["term_id"].iat[i]), int(pdf["block_id"].iat[i]),
+                    first, last, int(pdf["num_postings"].iat[i]),
+                    float(pdf["max_block_score"].iat[i]),
+                    bytes(pdf["pids"].iat[i]), bytes(pdf["tfs"].iat[i]),
+                    bytes(pdf["dls"].iat[i]), int(pdf["enc_bytes"].iat[i]),
+                    int(pdf["bucket"].iat[i]),
+                )
+                if lo == hi:  # block range disjoint from the pid set
+                    rows.append(passthrough)
+                    continue
+                p = decode_pids(bytes(pdf["pids"].iat[i]))
+                mask = ~np.isin(p, purge_arr[lo:hi])
+                if mask.all():  # range overlapped but no pid matched
+                    rows.append(passthrough)
+                    continue
+                if not mask.any():  # every posting purged → drop the block
+                    continue
+                tf = decode_tfs(bytes(pdf["tfs"].iat[i]))[mask]
+                dl = decode_tfs(bytes(pdf["dls"].iat[i]))[mask]
+                p2 = p[mask]
+                idf = float(pdf["idf"].iat[i])
+                if not np.isfinite(idf):
+                    raise ValueError(
+                        f"term {int(pdf['term_id'].iat[i])} missing from "
+                        "term_dict during purge"
+                    )
+                # identical float64 op order to _make_block_builder, so the
+                # surviving postings' block max is bit-identical to a rebuild
+                tff = tf.astype(np.float64)
+                dlf = dl.astype(np.float64)
+                scores = idf * tff * (k1 + 1.0) / (
+                    tff + k1 * (1.0 - b + b * dlf / avgdl)
+                )
+                ep, et, ed = encode_pids(p2), encode_tfs(tf), encode_tfs(dl)
+                rows.append((
+                    int(pdf["term_id"].iat[i]), int(pdf["block_id"].iat[i]),
+                    int(p2[0]), int(p2[-1]), int(p2.size),
+                    float(scores.max()), ep, et, ed,
+                    len(ep) + len(et) + len(ed),
+                    int(pdf["bucket"].iat[i]),
+                ))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "term_id", "block_id", "first_pid", "last_pid",
+                    "num_postings", "max_block_score", "pids", "tfs", "dls",
+                    "enc_bytes", "bucket",
+                ])
+
+    return purge
+
+
+def purge_pids(catalog, config: ColBERTConfig, avgdl: float,
+               pids: list[int]) -> dict:
+    """Physically remove a BOUNDED pid set's postings by rewriting ONLY the
+    parquet files that hold a block whose [first_pid, last_pid] range
+    intersects the set — the reference updater's patch-only-affected-chunks
+    semantics (colbert/index_updater.py:176-273) instead of the O(index)
+    decode+rewrite of coalesce_index. Returns
+    {"files_rewritten", "files_total", "pids"} as surgery evidence.
+
+    Scale shape: hit discovery is a column-pruned metadata scan (first_pid,
+    last_pid, input_file_name — the binary columns are never read) against
+    a broadcast pid table; only hit files are re-read, and within them the
+    kernel's range reject skips decode for non-hit blocks. The caller bounds
+    |pids| (ColBERTConfig.max_purge_pids) — past that, the broadcast array
+    and the metadata nested-loop probe stop being cheap and full compaction
+    wins (compaction-debt threshold, IndexUpdater.add).
+
+    Idempotent: pids absent from every block range → zero files touched —
+    which is also what makes it the streaming appender's crash-recovery
+    primitive (streaming/indexing._apply_batch re-delivery).
+    """
+    from pyspark.sql import SparkSession
+
+    ss = SparkSession.getActiveSession()
+    pid_list = sorted({int(p) for p in pids})
+    out = {"files_rewritten": 0, "files_total": 0, "pids": len(pid_list)}
+    if not pid_list or not catalog.table_exists("postings"):
+        return out
+    catalog.recover_pending_rewrite(ss)  # finish any crashed prior surgery
+    pid_df = ss.createDataFrame([(p,) for p in pid_list], "pid long")
+    meta = catalog.read(ss, "postings").select(
+        "first_pid", "last_pid", F.input_file_name().alias("src")
+    )
+    hit_files = [
+        r["src"]
+        for r in meta.join(
+            F.broadcast(pid_df),
+            (F.col("pid") >= F.col("first_pid"))
+            & (F.col("pid") <= F.col("last_pid")),
+            "left_semi",
+        ).select("src").distinct().collect()
+    ]
+    out["files_total"] = meta.select("src").distinct().count()
+    if not hit_files:
+        return out
+    blocks = (
+        ss.read.option("basePath", catalog.path("postings"))
+        .parquet(*hit_files)
+        .withColumn("bucket", F.col("bucket").cast("int"))
+    )
+    idf_table = catalog.read(ss, "term_dict").select("term_id", "idf")
+    bc = ss.sparkContext.broadcast(np.array(pid_list, dtype=np.int64))
+    purged = blocks.join(F.broadcast(idf_table), "term_id", "left").mapInPandas(
+        _make_pid_purge_kernel(bc, config.k1, config.b, avgdl),
+        schema=POSTINGS_SCHEMA + ", bucket int",
+    )
+    catalog.rewrite_files(ss, "postings", hit_files, purged,
+                          partition_by=["bucket"])
+    out["files_rewritten"] = len(hit_files)
+    return out

@@ -41,6 +41,9 @@ class IndexUpdater:
         meta = self.catalog.read_json("metadata.json")
         self.num_docs: int = meta["num_docs"]
         self.avgdl: float = meta["avg_doclen"]
+        #: surgery evidence from the last targeted re-add purge
+        #: ({"files_rewritten", "files_total", "pids"}), None otherwise
+        self.last_purge: dict | None = None
 
     # -- remove ------------------------------------------------------------
     def remove(self, pids: list[int]) -> None:
@@ -62,26 +65,60 @@ class IndexUpdater:
         """Append postings for new docs under frozen corpus stats.
 
         A pid may be added only if absent from the live index. Re-adding a
-        previously removed pid triggers a compaction first (coalesce) so the
-        old postings are physically gone — clearing the tombstone alone
-        would resurrect them alongside the new ones.
+        previously removed pid physically purges its old postings first —
+        clearing the tombstone alone would resurrect them alongside the new
+        ones. Up to config.max_purge_pids re-adds this is BLOCK-TARGETED
+        (builder.purge_pids rewrites only the posting files whose block
+        ranges intersect the re-added pids — the reference updater's
+        patch-only-affected-chunks shape, colbert/index_updater.py:176-273);
+        past the threshold a full coalesce is cheaper (compaction debt) and
+        on catalogs without file surgery (Iceberg, until the row-level
+        DELETE path is cluster-validated) the coalesce fallback keeps the
+        semantics.
         """
         cfg = self.config
+        self.catalog.recover_pending_rewrite(self.spark)
         added = docs.select(F.col(id_col).alias("pid")).distinct()
         if self.catalog.table_exists("tombstones"):
             tombs = self.catalog.read(self.spark, "tombstones")
             readded = tombs.join(added, "pid", "left_semi").count()
         else:
             tombs, readded = None, 0
-        if readded:
-            # physically drop tombstoned postings before re-adding the pid.
-            # localCheckpoint (not toPandas) keeps the tombstone set on the
-            # executors — tombstone tables can be large (remove()'s own
-            # contract) and the checkpoint stays valid after coalesce
-            # deletes the underlying table
+        if readded and (readded > cfg.max_purge_pids
+                        or not self.catalog.supports_file_rewrite):
+            # compaction-debt / no-surgery fallback: fold the WHOLE
+            # tombstone set in one O(index) pass. localCheckpoint (not
+            # toPandas) keeps the tombstone set on the executors —
+            # tombstone tables can be large (remove()'s own contract) and
+            # the checkpoint stays valid after coalesce deletes the
+            # underlying table
             removed = tombs.localCheckpoint(eager=True)
             builder.coalesce_index(self.catalog, cfg, self.avgdl)
             tombs = None
+        elif readded:
+            # targeted surgery: purge ONLY the re-added pids' postings
+            # (bounded driver list — readded <= max_purge_pids by the
+            # branch above), keep everyone else's tombstones lazy
+            readded_pids = [
+                r["pid"]
+                for r in tombs.join(added, "pid", "left_semi").collect()
+            ]
+            self.last_purge = builder.purge_pids(
+                self.catalog, cfg, self.avgdl, readded_pids
+            )
+            remaining = tombs.join(added, "pid", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if remaining.take(1):
+                self.catalog.replace(remaining, "tombstones")
+                tombs = remaining  # checkpoint survives the table swap
+            else:
+                self.catalog.delete_table("tombstones")
+                tombs = None
+            self.catalog.refresh(self.spark)
+            removed = self.spark.createDataFrame(
+                [(int(p),) for p in readded_pids], "pid long"
+            )
         else:
             removed = None
         live = self.catalog.read(self.spark, "doc_stats").select("pid")

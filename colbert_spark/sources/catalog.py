@@ -108,6 +108,86 @@ class IndexCatalog:
         (no-op for a real table catalog, which versions snapshots)."""
         spark.catalog.refreshByPath(str(self.root))
 
+    # --- targeted file rewrite (block-level index surgery) -----------------
+    #: parquet layout supports swapping individual data files; a snapshot
+    #: catalog (Iceberg) replaces this with row-level DELETE + append
+    supports_file_rewrite = True
+    _REWRITE_JOURNAL = "rewrite_pending.json"
+
+    @staticmethod
+    def _fs_path(f: str) -> Path:
+        """input_file_name() yields URIs (file:///…); deletion needs paths."""
+        from urllib.parse import urlparse
+
+        return Path(urlparse(f).path) if "://" in f else Path(f)
+
+    def rewrite_files(self, spark: SparkSession, table: str,
+                      old_files: list[str], new_df: DataFrame,
+                      partition_by: list[str] | None = None) -> None:
+        """Replace exactly `old_files` of `table` with the rows of `new_df`,
+        leaving every other data file untouched (the bounded-I/O primitive
+        behind builder.purge_pids — the analog of the reference updater
+        patching only affected chunks, colbert/index_updater.py:176-273).
+
+        Crash-safe via a redo journal: new files are staged first, then a
+        journal (staged paths + files-to-delete) is written atomically,
+        then moves+deletes execute. A crash mid-mutation leaves the journal,
+        and recover_pending_rewrite() re-executes the (idempotent) moves and
+        deletes — the only reader-visible window is old+new files coexisting
+        (transient double-count), strictly smaller than replace()'s
+        documented whole-table rename window. Local-fs rename here; on
+        HDFS/S3 the same sequence runs through the FileSystem API."""
+        staging = Path(self.path(f"_{table}_rewrite_staging"))
+        if staging.exists():
+            import shutil
+
+            shutil.rmtree(staging)  # abandoned pre-journal attempt
+        w = new_df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(staging))
+        self.write_json(self._REWRITE_JOURNAL, {
+            "table": table,
+            "delete": [str(self._fs_path(f)) for f in old_files],
+        })
+        self._redo_rewrite(spark)
+
+    def has_pending_rewrite(self) -> bool:
+        return (self.root / self._REWRITE_JOURNAL).exists()
+
+    def recover_pending_rewrite(self, spark: SparkSession) -> bool:
+        """Complete a crashed rewrite_files (no-op without a journal).
+        Called by IndexUpdater/Searcher/purge entry points; safe to race —
+        every step skips already-done work."""
+        if not self.has_pending_rewrite():
+            return False
+        self._redo_rewrite(spark)
+        return True
+
+    def _redo_rewrite(self, spark: SparkSession) -> None:
+        import shutil
+
+        j = self.read_json(self._REWRITE_JOURNAL)
+        table = j["table"]
+        staging = Path(self.path(f"_{table}_rewrite_staging"))
+        dest = Path(self.path(table))
+        if staging.exists():
+            # move staged part files in, preserving partition dirs; a redo
+            # finds already-moved sources gone and skips them
+            for f in sorted(staging.rglob("part-*")):
+                rel = f.relative_to(staging)
+                target = dest / rel
+                target.parent.mkdir(parents=True, exist_ok=True)
+                f.replace(target)
+        for f in j["delete"]:
+            p = Path(f)
+            if p.exists():
+                p.unlink()
+        (self.root / self._REWRITE_JOURNAL).unlink(missing_ok=True)
+        if staging.exists():
+            shutil.rmtree(staging, ignore_errors=True)
+        self.refresh(spark)
+
     # --- json sidecars -----------------------------------------------------
     def write_json(self, name: str, obj: dict) -> None:
         """Atomic: write-then-rename, so a crash mid-write can never leave
@@ -184,6 +264,14 @@ class IcebergIndexCatalog(IndexCatalog):
     def replace(self, df: DataFrame, table: str,
                 partition_by: list[str] | None = None) -> None:
         self.write(df, table, "overwrite", partition_by)
+
+    #: Iceberg has no stable file identity to swap from the outside; the
+    #: engine-native targeted purge is row-level DELETE (hit rows) + append
+    #: (rewritten rows) under snapshot isolation — unexercised here (no
+    #: runtime jar on this box), so builder.purge_pids falls back to the
+    #: snapshot-atomic full coalesce on this backend until a cluster run
+    #: validates the row-level path.
+    supports_file_rewrite = False
 
     def compact_files(self, table: str = "postings") -> None:
         """Engine-native file compaction (small-file merge; orthogonal to

@@ -162,3 +162,112 @@ def test_large_tombstone_set_forces_scatter(spark, env, monkeypatch):
     r = s.search_all(queries, k=10, mode="gather")
     assert r.provenance["mode"] == "scatter"  # guard overrode gather
     assert sorted(map(tuple, r.df.collect())) == expect
+
+
+# -- block-targeted re-add surgery (r5) ---------------------------------------
+# The re-add path must patch only posting files whose block [first_pid,
+# last_pid] ranges intersect the re-added pids (reference updater patches
+# only affected chunks, colbert/index_updater.py:176-273) — never the whole
+# index. The fixture appends a high-pid segment disjoint from the 0..199
+# build, so purging those pids can only ever hit the appended files.
+
+
+def _postings_files(cat):
+    import pathlib
+    return {
+        str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in pathlib.Path(cat.path("postings")).rglob("part-*")
+    }
+
+
+def test_readd_surgery_touches_bounded_file_subset(spark, env):
+    cfg, docs, queries = env
+    import pathlib as _pl
+    cat = IndexCatalog(str(_pl.Path(cfg.index_root) / "u1"))
+    build_files = _postings_files(cat)
+
+    new = spark.createDataFrame(
+        [(1000, "zzseg one two t00003"), (1001, "zzseg three four")],
+        "pid long, text string",
+    )
+    IndexUpdater("u1", spark, cfg).add(new)
+    s = Searcher("u1", spark, cfg)
+    with_seg = sorted(map(tuple, s.search_all(queries, k=10).df.collect()))
+    pids, _, _ = s.search("zzseg", k=5)
+    assert set(pids) == {1000, 1001}
+
+    up = IndexUpdater("u1", spark, cfg)
+    up.remove([1000])
+    up2 = IndexUpdater("u1", spark, cfg)
+    up2.add(new.filter(F.col("pid") == 1000))
+
+    purge = up2.last_purge
+    assert purge is not None and purge["files_rewritten"] >= 1
+    # pid 1000 lies outside every build-time block range (corpus pids
+    # 0..199), so the surgery was confined to the appended segment files
+    assert purge["files_rewritten"] < purge["files_total"]
+    after_files = _postings_files(cat)
+    for f, sig in build_files.items():
+        assert after_files.get(f) == sig, f"build file {f} was touched"
+
+    # frozen stats ⇒ exact restoration, and no duplicate postings
+    s2 = Searcher("u1", spark, cfg)
+    assert sorted(map(tuple, s2.search_all(queries, k=10).df.collect())) \
+        == with_seg
+    pids2, _, scores2 = s2.search("zzseg", k=5)
+    assert set(pids2) == {1000, 1001}
+
+
+def test_purge_pids_noop_when_absent(spark, env):
+    cfg, docs, queries = env
+    import pathlib as _pl
+    cat = IndexCatalog(str(_pl.Path(cfg.index_root) / "u1"))
+    up = IndexUpdater("u1", spark, cfg)
+    before = _postings_files(cat)
+    out = builder.purge_pids(cat, cfg, up.avgdl, [10_000_000])
+    assert out["files_rewritten"] == 0
+    assert _postings_files(cat) == before
+
+
+def test_readd_over_threshold_falls_back_to_coalesce(spark, env):
+    cfg, docs, queries = env
+    import dataclasses
+    small = dataclasses.replace(cfg, max_purge_pids=1)
+    before = _rank(spark, cfg, queries)
+    victims = sorted({r[1] for r in before})[:3]
+    up = IndexUpdater("u1", spark, small)
+    up.remove(victims)
+    up2 = IndexUpdater("u1", spark, small)
+    up2.add(docs.filter(F.col("pid").isin(victims)))
+    assert up2.last_purge is None  # debt threshold → full coalesce path
+    import pathlib
+    assert not pathlib.Path(
+        IndexCatalog(str(pathlib.Path(cfg.index_root) / "u1"))
+        .path("tombstones")).exists()
+    assert _rank(spark, cfg, queries) == before
+
+
+def test_purge_crash_recovery_via_journal(spark, env, monkeypatch):
+    """A crash between the journal write and the file moves/deletes leaves
+    a redo journal; the next reader (Searcher) completes the surgery
+    deterministically before serving queries."""
+    cfg, docs, queries = env
+    import pathlib as _pl
+    cat = IndexCatalog(str(_pl.Path(cfg.index_root) / "u1"))
+    before = _rank(spark, cfg, queries)
+    victims = sorted({r[1] for r in before})[:2]
+    IndexUpdater("u1", spark, cfg).remove(victims)
+
+    # crash simulation: staging + journal land, mutation step never runs
+    real_redo = IndexCatalog._redo_rewrite
+    monkeypatch.setattr(IndexCatalog, "_redo_rewrite",
+                        lambda self, spark_: None)
+    up = IndexUpdater("u1", spark, cfg)
+    up.add(docs.filter(F.col("pid").isin(victims)))
+    monkeypatch.setattr(IndexCatalog, "_redo_rewrite", real_redo)
+    assert cat.has_pending_rewrite()
+
+    s = Searcher("u1", spark, cfg)  # recovery point
+    assert not cat.has_pending_rewrite()
+    assert sorted(map(tuple, s.search_all(queries, k=10).df.collect())) \
+        == before
