@@ -965,6 +965,12 @@ def q_ann_ivf_top5(spark, sf_dir):
 
 QUERIES = {
     "bm25_top10": q_bm25_top10,
+    # r4's driver run happened not to reach these four (row cap?) — they
+    # sit first in line so every driver run covers them (VERDICT r4 item 7)
+    "dedup_embedding": q_dedup_embedding,
+    "token_count_bpe": q_token_count_bpe,
+    "ann_lsh_top5": q_ann_lsh_top5,
+    "ann_ivf_top5": q_ann_ivf_top5,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "term_topk_tf": q_term_topk_tf,
@@ -1014,10 +1020,6 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "url_latest_capture": q_url_latest_capture,
     "quantize_embeddings": q_quantize_embeddings,
-    "dedup_embedding": q_dedup_embedding,
-    "token_count_bpe": q_token_count_bpe,
-    "ann_lsh_top5": q_ann_lsh_top5,
-    "ann_ivf_top5": q_ann_ivf_top5,
 }
 
 

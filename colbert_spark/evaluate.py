@@ -30,10 +30,13 @@ def main() -> None:
     ranking = Ranking.load(spark, args.ranking).df
     qrels = load_qrels_tsv(spark, args.qrels)
 
-    out = {"mrr@10": metrics.mrr_at_k(ranking, qrels, 10).first()["mrr"]}
-    for k in (int(x) for x in args.ks.split(",")):
-        out[f"recall@{k}"] = metrics.recall_at_k(ranking, qrels, k).first()["recall"]
-        out[f"success@{k}"] = metrics.success_at_k(ranking, qrels, k).first()["success"]
+    ks = tuple(int(x) for x in args.ks.split(","))
+    # one driver action for the whole summary (metrics.eval_summary)
+    row = metrics.eval_summary(ranking, qrels, ks=ks, mrr_k=10).first()
+    out = {"mrr@10": row["mrr_10"]}
+    for k in ks:
+        out[f"recall@{k}"] = row[f"recall_{k}"]
+        out[f"success@{k}"] = row[f"success_{k}"]
     print(json.dumps(out, indent=2))
     spark.stop()
 

@@ -69,3 +69,24 @@ def success_at_k(ranking: DataFrame, qrels: DataFrame, k: int = 5) -> DataFrame:
         .fillna({"s": 0.0})
         .agg(F.round(F.avg("s"), 6).alias("success"))
     )
+
+
+def eval_summary(ranking: DataFrame, qrels: DataFrame,
+                 ks: tuple[int, ...] = (10, 50, 200, 1000),
+                 mrr_k: int = 10) -> DataFrame:
+    """ONE row with every metric column (mrr_<k>, recall_<k>, success_<k>):
+    the 1-row aggregates crossJoin into a single plan so the CLI
+    (colbert_spark.evaluate) materializes the whole summary in one driver
+    action instead of 1 + 2·len(ks) serial jobs — the indexer's own
+    stats-gathering pattern (plans/indexer.py corpus-stats crossJoin)."""
+    out = mrr_at_k(ranking, qrels, mrr_k).withColumnRenamed(
+        "mrr", f"mrr_{mrr_k}")
+    for k in ks:
+        out = out.crossJoin(
+            recall_at_k(ranking, qrels, k).withColumnRenamed(
+                "recall", f"recall_{k}")
+        ).crossJoin(
+            success_at_k(ranking, qrels, k).withColumnRenamed(
+                "success", f"success_{k}")
+        )
+    return out

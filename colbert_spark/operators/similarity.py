@@ -102,19 +102,31 @@ def _lsh_buckets_pandas(df: DataFrame, id_name: str, vec_name: str,
     """One row per (row, table[, probe]) — bucket signatures via a single
     numpy matmul per Arrow batch instead of dim × planes × tables literal
     expressions. flip_bits adds the single-bit multi-probe buckets (query
-    side). include_vec=False emits only (id, bucket): the near-pair
-    self-join bands id-only and re-attaches vectors after pair dedup, so
-    the fat payload must not be np.repeat-ed per bucket row here."""
+    side). Every production caller (near-pair self-join AND both top-k
+    sides, r5) bands include_vec=False — only (id, bucket) rows, vectors
+    re-attach post-dedup via the slim-table join — so the fat payload is
+    never np.repeat-ed per bucket row; include_vec=True remains for the
+    footprint-ratio test."""
+    if include_vec:
+        schema = f"{id_name} long, {vec_name} array<double>, bucket long"
+    else:
+        schema = f"{id_name} long, bucket long"
+    gen = _make_lsh_bucket_kernel(id_name, vec_name, tables, n_planes,
+                                  flip_bits, include_vec)
+    return df.mapInPandas(gen, schema=schema)
+
+
+def _make_lsh_bucket_kernel(id_name: str, vec_name: str,
+                            tables: list[np.ndarray], n_planes: int,
+                            flip_bits: bool, include_vec: bool):
+    """The Arrow banding kernel, factored out so tests can drive it with a
+    raw pandas batch and measure the output footprint directly."""
     import pandas as pd
 
     planes = np.vstack(tables)  # (T*J, dim)
     n_tab = len(tables)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
     offsets = (np.arange(n_tab, dtype=np.int64) << n_planes)
-    if include_vec:
-        schema = f"{id_name} long, {vec_name} array<double>, bucket long"
-    else:
-        schema = f"{id_name} long, bucket long"
 
     def gen(batches):
         for pdf in batches:
@@ -138,7 +150,7 @@ def _lsh_buckets_pandas(df: DataFrame, id_name: str, vec_name: str,
             cols["bucket"] = buckets.reshape(-1)
             yield pd.DataFrame(cols)
 
-    return df.mapInPandas(gen, schema=schema)
+    return gen
 
 
 def cosine_topk_lsh(
@@ -172,6 +184,17 @@ def cosine_topk_lsh(
     right for small dim, and the oracle-replayable form), "pandas" (one
     Arrow matmul per batch — right when dim × planes × tables would blow
     up codegen, e.g. real 128-1536-dim embeddings), or "auto".
+
+    Pandas-path shuffle/memory shape: the banding kernel emits ONLY
+    (id, bucket) on BOTH sides — at dim 1536 float64 a vector is ~12 KB,
+    and np.repeat-ing it per bucket row multiplied corpus-side Arrow
+    batches ×n_tables and probe-side ×n_tables·(1+n_planes) (~6× / ~54×
+    at defaults). Candidates dedup on the slim (qid, vec_id) pairs, THEN
+    vectors re-attach: corpus v/nv via one join against the persisted
+    slim table (AQE picks broadcast when the candidate set is small —
+    each matched vector moves at most once), query qv/nq via a broadcast
+    join (query side is small by contract). The slim table is registered
+    with caching.register("cosine_topk_lsh"); drain after materializing.
     """
     if dim is None:
         dim = len(items.select(vec_col).first()[0])
@@ -191,12 +214,44 @@ def cosine_topk_lsh(
         F.col(qvec_col).cast("array<double>").alias("qv"),
     )
     if signature_impl == "pandas":
-        it = _lsh_buckets_pandas(it, "vec_id", "v", tables, n_planes,
-                                 flip_bits=False).withColumn(
-            "nv", _norm(F.col("v")))
-        q = _lsh_buckets_pandas(q, "qid", "qv", tables, n_planes,
-                                flip_bits=probe_flips >= 1).withColumn(
-            "nq", _norm(F.col("qv")))
+        it_slim = caching.register(
+            it.withColumn("nv", _norm(F.col("v"))).persist(),
+            "cosine_topk_lsh",
+        )
+        banded_it = _lsh_buckets_pandas(
+            it_slim.select("vec_id", "v"), "vec_id", "v", tables, n_planes,
+            flip_bits=False, include_vec=False,
+        )
+        banded_q = _lsh_buckets_pandas(
+            q, "qid", "qv", tables, n_planes,
+            flip_bits=probe_flips >= 1, include_vec=False,
+        )
+        cand = (
+            banded_it.join(F.broadcast(banded_q), "bucket")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id")
+            .dropDuplicates(["qid", "vec_id"])  # dedup BEFORE the fat attach
+        )
+        q_full = q.withColumn("nq", _norm(F.col("qv")))
+        scored = (
+            cand.join(it_slim, "vec_id")
+            .join(F.broadcast(q_full), "qid")
+            .select(
+                "qid", "vec_id",
+                F.round(
+                    _dot(F.col("v"), F.col("qv"))
+                    / (F.col("nv") * F.col("nq")),
+                    SIM_DECIMALS,
+                ).alias("sim"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vec_id",
+                    F.col("rank").cast("long").alias("rank"), "sim")
+        )
     else:
         it = it.withColumn(
             "bucket",

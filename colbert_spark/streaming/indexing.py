@@ -11,15 +11,30 @@ reference makes by not retraining centroids); a periodic
 batch maintenance.
 
 Exactly-once across restarts: Spark's streaming checkpoint guarantees a
-failed micro-batch is RE-DELIVERED with the same batch_id, but
-IndexUpdater.add is deliberately not idempotent (re-adding a live pid
-raises). The appender therefore keeps a batch-id ledger in the index
-sidecar (stream_append.json): a batch already in the ledger is skipped,
-so re-delivery after a crash between the postings append and the
-checkpoint commit cannot double-append. The ledger is written AFTER the
-append — a crash between the two leaves the batch applied-but-unrecorded,
-the one window where re-delivery would raise "already live" instead of
-silently duplicating postings (fail-loud beats double-count; documented).
+failed micro-batch is RE-DELIVERED with the same batch_id and the same
+rows (replayable source), but IndexUpdater.add is deliberately not
+idempotent (re-adding a live pid raises). The appender therefore keeps a
+per-stream ledger in the index sidecar (stream_append.json):
+
+  {"version": 2, "streams": {<stream_key>: {"hwm": N, "inflight": M}}}
+
+- hwm (high-water mark): highest batch id fully applied. Batch ids are
+  monotone per checkpoint, so one integer per stream replaces the v1
+  append-only list — the ledger is O(#streams) forever, not O(#batches)
+  (v1 ledgers are migrated on first read).
+- inflight: written BEFORE IndexUpdater.add runs, cleared with the hwm
+  bump after it. add() is itself multi-step (postings append → term_dict
+  append → doc_stats replace), so a crash inside it can leave a PARTIAL
+  append; on re-delivery the marker identifies exactly which batch may
+  be partial, and the appender rolls it back (builder.purge_pids on the
+  batch's pids — idempotent block surgery, a no-op when the crash
+  happened before the postings landed — plus a doc_stats prune) and
+  re-applies. No silent double-append, no spurious "already live".
+
+Concurrent streams against ONE index are unsupported: the ledger is a
+read-modify-write JSON sidecar with no lock (two writers can lose each
+other's stream entries). Run one appender per index; multiple sources
+can be unioned upstream.
 
 Pids must be unique across the stream's lifetime (dedup upstream with
 stream_exact_dedup / dropDuplicatesWithinWatermark); a duplicate pid
@@ -28,6 +43,7 @@ fails the batch with the updater's "already live" error.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from colbert_spark.plans.config import ColBERTConfig
@@ -36,33 +52,93 @@ from colbert_spark.sources.catalog import make_catalog
 _LEDGER = "stream_append.json"
 
 
+def _load_ledger(catalog) -> dict:
+    """Read the ledger, migrating a v1 append-only list to per-stream
+    high-water marks (v1 recorded every applied "key#id" entry; ids are
+    monotone and applied sequentially per key, so max(id) per key is the
+    exact same information)."""
+    try:
+        ledger = catalog.read_json(_LEDGER)
+    except FileNotFoundError:
+        return {"version": 2, "streams": {}}
+    if "applied" in ledger:
+        streams: dict[str, dict] = {}
+        for entry in ledger["applied"]:
+            key, _, bid = entry.rpartition("#")
+            st = streams.setdefault(key, {"hwm": -1, "inflight": None})
+            st["hwm"] = max(st["hwm"], int(bid))
+        return {"version": 2, "streams": streams}
+    return ledger
+
+
+def _rollback_partial(cfg: ColBERTConfig, index: str, batch_df: DataFrame,
+                      id_col: str) -> None:
+    """Undo whatever a crashed add() left behind for this batch's pids:
+    purge their postings (block-targeted, idempotent — a no-op if the
+    postings append never landed) and drop their doc_stats rows. Leftover
+    df=0 term_dict rows from the crashed attempt are harmless (the retry's
+    new-term anti-join skips them; their idf is the same frozen-stats
+    value either way)."""
+    from colbert_spark.operators import builder
+    from colbert_spark.plans.index_updater import IndexUpdater
+
+    spark = batch_df.sparkSession
+    up = IndexUpdater(index, spark, cfg)
+    pids = [
+        int(r[0])
+        for r in batch_df.select(F.col(id_col).cast("long")).distinct()
+        .collect()
+    ]
+    builder.purge_pids(up.catalog, up.config, up.avgdl, pids)
+    if pids and up.catalog.table_exists("doc_stats"):
+        pid_df = spark.createDataFrame([(p,) for p in pids], "pid long")
+        stats = up.catalog.read(spark, "doc_stats")
+        up.catalog.replace(stats.join(pid_df, "pid", "left_anti"), "doc_stats")
+        up.catalog.refresh(spark)
+
+
 def _apply_batch(cfg: ColBERTConfig, index: str, batch_df: DataFrame,
                  batch_id: int, id_col: str, text_col: str,
                  stream_key: str = "") -> bool:
     """Idempotently apply one micro-batch; returns True if it appended.
-    Module-level so tests can drive re-delivery directly.
+    Module-level so tests can drive re-delivery and crash recovery
+    directly.
 
-    Ledger entries are keyed (stream_key, batch_id), NOT bare batch_id:
-    Spark numbers every stream incarnation's batches from 0, so a second
-    stream (new checkpoint, new source) against the same index would
-    collide with the first stream's entries and silently drop its early
-    batches. stream_index_append passes its checkpoint_dir as the key —
-    one checkpoint == one batch-numbering domain."""
+    Ledger streams are keyed by stream_key, NOT bare batch_id: Spark
+    numbers every stream incarnation's batches from 0, so a second stream
+    (new checkpoint, new source) against the same index would collide
+    with the first stream's numbering. stream_index_append passes its
+    checkpoint_dir as the key — one checkpoint == one batch-numbering
+    domain."""
     from colbert_spark.plans.index_updater import IndexUpdater
 
     catalog = make_catalog(cfg)
-    try:
-        ledger = catalog.read_json(_LEDGER)
-    except FileNotFoundError:
-        ledger = {"applied": []}
-    entry = f"{stream_key}#{batch_id}"
-    if entry in set(ledger["applied"]):
-        return False
+    ledger = _load_ledger(catalog)
+    st = ledger["streams"].setdefault(stream_key,
+                                      {"hwm": -1, "inflight": None})
+    if batch_id <= st["hwm"]:
+        return False  # fully applied before a crash/restart — skip
+    inflight = st.get("inflight")
+    if inflight is not None and inflight != batch_id:
+        raise RuntimeError(
+            f"stream ledger corrupt for {stream_key!r}: batch {inflight} "
+            f"is marked in-flight but batch {batch_id} was delivered — "
+            "checkpointed batches replay in order, so this means a second "
+            "appender shares this stream key (unsupported) or the ledger "
+            "was edited"
+        )
+    if inflight is not None:
+        # a prior attempt crashed inside add(): roll its partial state
+        # back, then fall through and re-apply cleanly
+        _rollback_partial(cfg, index, batch_df, id_col)
+    st["inflight"] = int(batch_id)
+    catalog.write_json(_LEDGER, ledger)
     if batch_df.take(1):
         IndexUpdater(index, batch_df.sparkSession, cfg).add(
             batch_df, id_col=id_col, text_col=text_col
         )
-    ledger["applied"].append(entry)
+    st["hwm"] = int(batch_id)
+    st["inflight"] = None
     catalog.write_json(_LEDGER, ledger)
     return True
 

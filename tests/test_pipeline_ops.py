@@ -840,3 +840,50 @@ def test_create_triples_self_semantics(spark):
     ).collect()
     assert sorted((r["qid"], r["pos"], r["neg"]) for r in out) == \
            sorted((r["qid"], r["pos"], r["neg"]) for r in again)
+
+
+def test_lsh_banding_kernel_footprint_is_slim():
+    """r5: the production banding kernel (include_vec=False, both top-k
+    sides and the near-pair join) must emit an output whose per-batch
+    footprint is a small fraction of the fat (vector-carrying) variant —
+    the np.repeat of an embedding per bucket row multiplied Arrow batches
+    ×n_tables corpus-side and ×n_tables·(1+n_planes) probe-side."""
+    import numpy as np
+    import pandas as pd
+
+    from colbert_spark.operators.similarity import (
+        _hyperplanes,
+        _make_lsh_bucket_kernel,
+    )
+
+    dim, n_planes, n_tables, n = 512, 8, 6, 256
+    tables = [_hyperplanes(dim, n_planes, seed=42 + 97 * t)
+              for t in range(n_tables)]
+    rng = np.random.Generator(np.random.Philox(key=5))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "v": [rng.standard_normal(dim) for _ in range(n)],
+    })
+
+    def footprint(include_vec, flip_bits):
+        gen = _make_lsh_bucket_kernel("vec_id", "v", tables, n_planes,
+                                      flip_bits, include_vec)
+        out = next(gen(iter([pdf])))
+        total = 0
+        for c in out.columns:
+            if out[c].dtype == object:  # vector cells
+                total += sum(a.nbytes for a in out[c])
+            else:
+                total += out[c].to_numpy().nbytes
+        return total, out
+
+    slim_b, slim = footprint(False, False)
+    fat_b, fat = footprint(True, False)
+    # identical bucket assignments, ~n_tables× smaller payload
+    assert list(slim.columns) == ["vec_id", "bucket"]
+    assert (slim["bucket"].to_numpy() == fat["bucket"].to_numpy()).all()
+    assert fat_b / slim_b > 4  # 6 tables → fat carries 6 vector copies/row
+
+    slim_probe_b, _ = footprint(False, True)
+    fat_probe_b, _ = footprint(True, True)
+    assert fat_probe_b / slim_probe_b > 4  # ×(1+n_planes) rows on probes

@@ -66,8 +66,11 @@ def test_stream_append_restores_removed_docs(spark, tmp_path):
     assert _rank(spark, cfg, "st1", queries) == before
 
     cat = IndexCatalog(str(pathlib.Path(cfg.index_root) / "st1"))
-    applied = cat.read_json("stream_append.json")["applied"]
-    assert len(applied) >= 2  # file-per-trigger → at least two batches
+    led = cat.read_json("stream_append.json")
+    # file-per-trigger → at least two batches, recorded as ONE high-water
+    # mark per stream (not an append-only list)
+    assert led["streams"][ckpt]["hwm"] >= 1
+    assert led["streams"][ckpt]["inflight"] is None
 
     # restart on the same checkpoint: source already consumed, no change
     n_blocks = cat.read(spark, "postings").count()
@@ -121,3 +124,97 @@ def test_second_stream_incarnation_gets_fresh_batch_ids(spark, tmp_path):
     # and re-delivery within each incarnation still no-ops
     assert _apply_batch(cfg, "st3", b, 0, "pid", "text",
                         stream_key="ckptB") is False
+
+
+def test_ledger_stays_bounded_over_many_batches(spark, tmp_path):
+    """1,000 micro-batches (empty — the ledger records them regardless)
+    leave an O(#streams) ledger: one high-water mark, not 1,000 entries,
+    and the sidecar is re-read/re-written per batch so its size IS the
+    per-batch driver cost."""
+    cfg, docs, queries = _env(spark, tmp_path, "st4")
+    cat = IndexCatalog(str(pathlib.Path(cfg.index_root) / "st4"))
+    empty = spark.createDataFrame([], "pid long, text string")
+    for bid in range(1000):
+        assert _apply_batch(cfg, "st4", empty, bid, "pid", "text",
+                            stream_key="ck") is True
+    led = cat.read_json("stream_append.json")
+    assert led["streams"] == {"ck": {"hwm": 999, "inflight": None}}
+    assert (pathlib.Path(cat.path("")) / "stream_append.json") \
+        .stat().st_size < 1024
+
+
+def test_crash_inside_add_rolls_back_then_reapplies(spark, tmp_path,
+                                                    monkeypatch):
+    """The applied-but-unrecorded window: add() completes (or partially
+    completes) but the ledger commit never happens. Re-delivery must find
+    the in-flight marker, roll the batch's pids back (purge_pids +
+    doc_stats prune) and re-apply — not double-append, not raise
+    'already live'."""
+    import pytest
+    from colbert_spark.operators import builder
+
+    cfg, docs, queries = _env(spark, tmp_path, "st5")
+    cat = IndexCatalog(str(pathlib.Path(cfg.index_root) / "st5"))
+    new = spark.createDataFrame(
+        [(5000, "zzcrashterm alpha beta"), (5001, "zzcrashterm gamma")],
+        "pid long, text string",
+    )
+
+    real_add = IndexUpdater.add
+
+    def crashing_add(self, d, **kw):
+        real_add(self, d, **kw)
+        raise RuntimeError("crash after append, before ledger commit")
+
+    monkeypatch.setattr(IndexUpdater, "add", crashing_add)
+    with pytest.raises(RuntimeError, match="before ledger commit"):
+        _apply_batch(cfg, "st5", new, 3, "pid", "text", stream_key="ck")
+    led = cat.read_json("stream_append.json")
+    assert led["streams"]["ck"] == {"hwm": -1, "inflight": 3}
+
+    monkeypatch.setattr(IndexUpdater, "add", real_add)
+    assert _apply_batch(cfg, "st5", new, 3, "pid", "text",
+                        stream_key="ck") is True
+    led = cat.read_json("stream_append.json")
+    assert led["streams"]["ck"] == {"hwm": 3, "inflight": None}
+
+    s = Searcher("st5", spark, cfg)
+    pids, ranks, scores = s.search("zzcrashterm", k=5)
+    assert set(pids) == {5000, 5001}
+    # duplicate postings would trip the compaction kernel's sorted-adjacent
+    # dup-pid guard — a clean coalesce is proof the rollback was complete
+    up = IndexUpdater("st5", spark, cfg)
+    builder.coalesce_index(up.catalog, up.config, up.avgdl)
+    pids2, _, scores2 = Searcher("st5", spark, cfg).search("zzcrashterm", k=5)
+    assert (pids2, scores2) == (pids, scores)
+
+
+def test_inflight_marker_for_other_batch_fails_loud(spark, tmp_path):
+    import pytest
+
+    cfg, docs, queries = _env(spark, tmp_path, "st6")
+    cat = IndexCatalog(str(pathlib.Path(cfg.index_root) / "st6"))
+    cat.write_json("stream_append.json", {
+        "version": 2, "streams": {"ck": {"hwm": 1, "inflight": 2}},
+    })
+    new = spark.createDataFrame([(7000, "zzother")], "pid long, text string")
+    with pytest.raises(RuntimeError, match="in-flight"):
+        _apply_batch(cfg, "st6", new, 3, "pid", "text", stream_key="ck")
+
+
+def test_v1_ledger_migrates_to_high_water_marks(spark, tmp_path):
+    cfg, docs, queries = _env(spark, tmp_path, "st7")
+    cat = IndexCatalog(str(pathlib.Path(cfg.index_root) / "st7"))
+    cat.write_json("stream_append.json",
+                   {"applied": ["ck#0", "ck#1", "other#0"]})
+    new = spark.createDataFrame([(8000, "zzmigrated")],
+                                "pid long, text string")
+    # batches at or below the migrated hwm skip; the next one applies
+    assert _apply_batch(cfg, "st7", new, 1, "pid", "text",
+                        stream_key="ck") is False
+    assert _apply_batch(cfg, "st7", new, 2, "pid", "text",
+                        stream_key="ck") is True
+    led = cat.read_json("stream_append.json")
+    assert led["streams"]["ck"] == {"hwm": 2, "inflight": None}
+    assert led["streams"]["other"]["hwm"] == 0
+    assert Searcher("st7", spark, cfg).search("zzmigrated", k=5)[0] == [8000]
