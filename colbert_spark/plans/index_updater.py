@@ -190,6 +190,58 @@ class IndexUpdater:
         # listings so same-session readers see the swapped table
         self.catalog.refresh(self.spark)
 
+    # -- maintenance -------------------------------------------------------
+    def segment_debt(self) -> dict:
+        """Compaction debt from block metadata only (column-pruned scan —
+        block_id alone; binaries never read): the fraction of blocks in the
+        appended-segment namespace (salt = block_id >> 32 ≥ _ADD_SALT_BASE,
+        i.e. written by add() under frozen stats rather than by the salted
+        build/compaction) and the tombstoned fraction of docs. Both grow
+        monotonically between coalesce runs and both degrade query time —
+        appended segments are small and unsorted relative to the builds'
+        pid-runs; tombstones are filtered at decode."""
+        blocks = self.catalog.read(self.spark, "postings").select("block_id")
+        row = blocks.agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum(
+                F.when(
+                    F.shiftright("block_id", 32) >= _ADD_SALT_BASE, 1
+                ).otherwise(0)
+            ).alias("appended"),
+        ).first()
+        n_tombs = (
+            self.catalog.read(self.spark, "tombstones").count()
+            if self.catalog.table_exists("tombstones") else 0
+        )
+        blocks_n = int(row["blocks"] or 0)
+        return {
+            "blocks": blocks_n,
+            "appended_blocks": int(row["appended"] or 0),
+            "appended_fraction": (
+                int(row["appended"] or 0) / blocks_n if blocks_n else 0.0
+            ),
+            "tombstones": n_tombs,
+            "tombstone_fraction": (
+                n_tombs / self.num_docs if self.num_docs else 0.0
+            ),
+        }
+
+    def maintain(self, max_appended_fraction: float = 0.2,
+                 max_tombstone_fraction: float = 0.2) -> bool:
+        """Debt-driven compaction: coalesce the index iff the appended or
+        tombstoned fraction exceeds its threshold; returns True when a
+        compaction ran. This is the policy wrapper around coalesce_index —
+        call it on a schedule (or let stream_index_append's auto_maintain
+        call it per applied batch) so long-running maintenance never needs
+        a human to decide when the fold is due (the reference leaves the
+        analogous decision to the operator re-running the indexer)."""
+        debt = self.segment_debt()
+        if (debt["appended_fraction"] <= max_appended_fraction
+                and debt["tombstone_fraction"] <= max_tombstone_fraction):
+            return False
+        builder.coalesce_index(self.catalog, self.config, self.avgdl)
+        return True
+
     def persist_to_disk(self) -> None:
         """No-op: every mutation above is already durable (the reference
         buffers in memory and flushes here, index_updater.py:176-273; Spark

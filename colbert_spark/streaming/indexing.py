@@ -151,6 +151,7 @@ def stream_index_append(
     id_col: str = "pid",
     text_col: str = "text",
     available_now: bool = True,
+    auto_maintain: float | None = None,
 ):
     """Start the appender; returns the StreamingQuery.
 
@@ -161,13 +162,29 @@ def stream_index_append(
     while the rebuilt index has no ledger, so pair their lifetimes. The
     checkpoint_dir doubles as the ledger's stream key, so distinct
     streams (distinct checkpoints) never collide on batch numbering.
+
+    auto_maintain: when set, each APPLIED batch is followed by
+    IndexUpdater.maintain(f, f) — a metadata-only debt probe that
+    coalesces the index once the appended-segment (or tombstone) fraction
+    exceeds f. Compaction debt then stays bounded over an unbounded
+    stream without an external scheduler; a compaction interrupted by a
+    crash is re-run by the probe on a later batch (coalesce is
+    idempotent on its inputs). None (default) leaves maintenance to the
+    caller.
     """
     cfg = ColBERTConfig.from_existing(config)
     cfg.index_name = index
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _apply_batch(cfg, index, batch_df, batch_id, id_col, text_col,
-                     stream_key=checkpoint_dir)
+        applied = _apply_batch(cfg, index, batch_df, batch_id, id_col,
+                               text_col, stream_key=checkpoint_dir)
+        if applied and auto_maintain is not None:
+            from colbert_spark.plans.index_updater import IndexUpdater
+
+            IndexUpdater(index, batch_df.sparkSession, cfg).maintain(
+                max_appended_fraction=auto_maintain,
+                max_tombstone_fraction=auto_maintain,
+            )
 
     writer = (
         stream_docs.writeStream.foreachBatch(apply_batch)

@@ -271,3 +271,33 @@ def test_purge_crash_recovery_via_journal(spark, env, monkeypatch):
     assert not cat.has_pending_rewrite()
     assert sorted(map(tuple, s.search_all(queries, k=10).df.collect())) \
         == before
+
+
+def test_segment_debt_and_maintain(spark, env):
+    """Debt-driven compaction policy: metadata-only probe counts appended-
+    namespace blocks + tombstones; maintain() coalesces past thresholds
+    and is a no-op on a clean index."""
+    cfg, docs, queries = env
+    up = IndexUpdater("u1", spark, cfg)
+    d0 = up.segment_debt()
+    assert d0["appended_blocks"] == 0 and d0["tombstones"] == 0
+    assert up.maintain() is False  # clean → no-op
+
+    up.add(spark.createDataFrame(
+        [(1000, "zzdebt alpha"), (1001, "zzdebt beta")],
+        "pid long, text string"))
+    up.remove([0, 1])
+    up2 = IndexUpdater("u1", spark, cfg)
+    d1 = up2.segment_debt()
+    assert d1["appended_blocks"] >= 1 and d1["tombstones"] == 2
+    assert 0 < d1["appended_fraction"] < 1
+    before = _rank(spark, cfg, queries)
+
+    # under-threshold → no-op; zero-threshold → compacts
+    assert up2.maintain(max_appended_fraction=0.9,
+                        max_tombstone_fraction=0.9) is False
+    assert up2.maintain(max_appended_fraction=0.0) is True
+    up3 = IndexUpdater("u1", spark, cfg)
+    d2 = up3.segment_debt()
+    assert d2["appended_blocks"] == 0 and d2["tombstones"] == 0
+    assert _rank(spark, cfg, queries) == before  # fold preserves rankings

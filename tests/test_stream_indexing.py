@@ -218,3 +218,29 @@ def test_v1_ledger_migrates_to_high_water_marks(spark, tmp_path):
     assert led["streams"]["ck"] == {"hwm": 2, "inflight": None}
     assert led["streams"]["other"]["hwm"] == 0
     assert Searcher("st7", spark, cfg).search("zzmigrated", k=5)[0] == [8000]
+
+
+def test_stream_auto_maintain_bounds_segment_debt(spark, tmp_path):
+    """auto_maintain folds appended segments as the stream drains: after
+    the backlog, the appended-block namespace is empty (debt bounded over
+    an unbounded stream) and rankings equal the original full build."""
+    cfg, docs, queries = _env(spark, tmp_path, "st8")
+    before = _rank(spark, cfg, "st8", queries)
+    IndexUpdater("st8", spark, cfg).remove(list(range(20)))
+
+    src = tmp_path / "am_src"
+    readd = docs.filter(F.col("pid") < 20)
+    readd.filter(F.col("pid") < 10).coalesce(1).write.mode("overwrite") \
+        .parquet(str(src))
+    readd.filter(F.col("pid") >= 10).coalesce(1).write.mode("append") \
+        .parquet(str(src))
+    q = stream_index_append(
+        spark.readStream.schema(readd.schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(src)),
+        "st8", cfg, str(tmp_path / "am_ckpt"), auto_maintain=0.0,
+    )
+    assert q.awaitTermination(240)
+    up = IndexUpdater("st8", spark, cfg)
+    debt = up.segment_debt()
+    assert debt["appended_blocks"] == 0 and debt["tombstones"] == 0
+    assert _rank(spark, cfg, "st8", queries) == before
