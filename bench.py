@@ -154,6 +154,37 @@ def main() -> None:
           lambda: _builder.coalesce_index(_cat_big, cfg_big, _avgdl),
           reps=1)  # one-shot state: the tombstones are applied by rep 1
 
+    # r5: block-targeted re-add surgery over the same 100k index — the
+    # remove→re-add maintenance cycle, FORCED through purge_pids
+    # (purge_fallback_file_fraction=2.0) to track the raw surgery cost
+    # round-over-round. This probe is the documented WORST case: the
+    # bench corpus uses hash-scattered pids, so wide tail-term block
+    # ranges flag every file (hit stats recorded below) — the default
+    # policy (fraction > 0.8) would take the full coalesce here; pid-
+    # local workloads (appended segments, assign_pids' sequential ids at
+    # crawl ingest) flag a bounded subset (pytest evidence).
+    import dataclasses as _dc
+
+    cfg_force = _dc.replace(cfg_big, purge_fallback_file_fraction=2.0)
+    # materialize the victim rows once — limit() re-evaluation could pick
+    # a different 50 between remove() and add() and trip the clash check
+    _victim_rows = big.limit(50).collect()
+    _victim_ids = [r["pid"] for r in _victim_rows]
+    _victims = spark.createDataFrame(_victim_rows, big.schema)
+
+    surgery_stats = {}
+
+    def _readd_surgery():
+        IndexUpdater("bench100k", spark, cfg_force).remove(_victim_ids)
+        up = IndexUpdater("bench100k", spark, cfg_force)
+        up.add(_victims)
+        surgery_stats["readd_files_rewritten"] = up.last_purge["files_rewritten"]
+        surgery_stats["readd_files_total"] = up.last_purge["files_total"]
+        surgery_stats["readd_hit_fraction"] = round(
+            up.last_purge["hit_fraction"], 3)
+
+    timed("index_readd_surgery_100k", _readd_surgery, reps=1)
+
     # headline_total covers the round-1 key set only, so the driver's
     # round-over-round comparison stays apples-to-apples; probes added in
     # later rounds report in `queries` but not the total
@@ -170,6 +201,7 @@ def main() -> None:
         "num_docs": n_docs,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
         "index_docs_per_sec_100k": round(100_000 / timings["index_build_100k"], 1),
+        **surgery_stats,
         "method": "best-of-2 wall per probe (coalesce: 1); min = least-contended estimate on a noisy box",
     }))
     spark.stop()

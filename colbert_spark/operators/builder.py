@@ -336,6 +336,10 @@ def _make_pid_purge_kernel(bc_pids, k1: float, b: float, avgdl: float):
     not themselves intersect the pid set.
     """
 
+    out_cols = ["term_id", "block_id", "first_pid", "last_pid",
+                "num_postings", "max_block_score", "pids", "tfs", "dls",
+                "enc_bytes", "bucket"]
+
     def purge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from colbert_spark.functions.codec import (
             decode_pids,
@@ -344,37 +348,41 @@ def _make_pid_purge_kernel(bc_pids, k1: float, b: float, avgdl: float):
 
         purge_arr = bc_pids.value
         for pdf in batches:
+            if pdf.empty:
+                continue
+            # vectorized range reject over the WHOLE batch: blocks whose
+            # [first,last] range contains no purged pid pass through as one
+            # pandas slice — the per-block python work is reserved for the
+            # (few) range-overlapping blocks. Wide-range tail-term blocks
+            # overlap any pid set, so the loop below still decodes them;
+            # their decode is proportional to their (tiny) df.
+            lo_all = np.searchsorted(purge_arr,
+                                     pdf["first_pid"].to_numpy(), side="left")
+            hi_all = np.searchsorted(purge_arr,
+                                     pdf["last_pid"].to_numpy(), side="right")
+            overlap = lo_all != hi_all
+            clean = pdf.loc[~overlap, out_cols]
+            if not overlap.any():
+                yield clean
+                continue
             rows = []
-            for i in range(len(pdf)):
-                first = int(pdf["first_pid"].iat[i])
-                last = int(pdf["last_pid"].iat[i])
-                lo = int(np.searchsorted(purge_arr, first, side="left"))
-                hi = int(np.searchsorted(purge_arr, last, side="right"))
-                passthrough = (
-                    int(pdf["term_id"].iat[i]), int(pdf["block_id"].iat[i]),
-                    first, last, int(pdf["num_postings"].iat[i]),
-                    float(pdf["max_block_score"].iat[i]),
-                    bytes(pdf["pids"].iat[i]), bytes(pdf["tfs"].iat[i]),
-                    bytes(pdf["dls"].iat[i]), int(pdf["enc_bytes"].iat[i]),
-                    int(pdf["bucket"].iat[i]),
-                )
-                if lo == hi:  # block range disjoint from the pid set
-                    rows.append(passthrough)
-                    continue
-                p = decode_pids(bytes(pdf["pids"].iat[i]))
-                mask = ~np.isin(p, purge_arr[lo:hi])
+            sub = pdf.loc[overlap]
+            sub_lo, sub_hi = lo_all[overlap], hi_all[overlap]
+            for j, (_, r) in enumerate(sub.iterrows()):
+                p = decode_pids(bytes(r["pids"]))
+                mask = ~np.isin(p, purge_arr[sub_lo[j]:sub_hi[j]])
                 if mask.all():  # range overlapped but no pid matched
-                    rows.append(passthrough)
+                    rows.append(tuple(r[c] for c in out_cols))
                     continue
                 if not mask.any():  # every posting purged → drop the block
                     continue
-                tf = decode_tfs(bytes(pdf["tfs"].iat[i]))[mask]
-                dl = decode_tfs(bytes(pdf["dls"].iat[i]))[mask]
+                tf = decode_tfs(bytes(r["tfs"]))[mask]
+                dl = decode_tfs(bytes(r["dls"]))[mask]
                 p2 = p[mask]
-                idf = float(pdf["idf"].iat[i])
+                idf = float(r["idf"])
                 if not np.isfinite(idf):
                     raise ValueError(
-                        f"term {int(pdf['term_id'].iat[i])} missing from "
+                        f"term {int(r['term_id'])} missing from "
                         "term_dict during purge"
                     )
                 # identical float64 op order to _make_block_builder, so the
@@ -386,24 +394,25 @@ def _make_pid_purge_kernel(bc_pids, k1: float, b: float, avgdl: float):
                 )
                 ep, et, ed = encode_pids(p2), encode_tfs(tf), encode_tfs(dl)
                 rows.append((
-                    int(pdf["term_id"].iat[i]), int(pdf["block_id"].iat[i]),
+                    int(r["term_id"]), int(r["block_id"]),
                     int(p2[0]), int(p2[-1]), int(p2.size),
                     float(scores.max()), ep, et, ed,
                     len(ep) + len(et) + len(ed),
-                    int(pdf["bucket"].iat[i]),
+                    int(r["bucket"]),
                 ))
-            if rows:
-                yield pd.DataFrame(rows, columns=[
-                    "term_id", "block_id", "first_pid", "last_pid",
-                    "num_postings", "max_block_score", "pids", "tfs", "dls",
-                    "enc_bytes", "bucket",
-                ])
+            touched = pd.DataFrame(rows, columns=out_cols)
+            if len(clean) and len(touched):
+                yield pd.concat([clean, touched], ignore_index=True)
+            elif len(clean):
+                yield clean
+            elif len(touched):
+                yield touched
 
     return purge
 
 
 def purge_pids(catalog, config: ColBERTConfig, avgdl: float,
-               pids: list[int]) -> dict:
+               pids: list[int], max_file_fraction: float | None = None) -> dict:
     """Physically remove a BOUNDED pid set's postings by rewriting ONLY the
     parquet files that hold a block whose [first_pid, last_pid] range
     intersects the set — the reference updater's patch-only-affected-chunks
@@ -422,12 +431,25 @@ def purge_pids(catalog, config: ColBERTConfig, avgdl: float,
     Idempotent: pids absent from every block range → zero files touched —
     which is also what makes it the streaming appender's crash-recovery
     primitive (streaming/indexing._apply_batch re-delivery).
+
+    max_file_fraction: when set and the flagged-file fraction exceeds it,
+    NOTHING is rewritten and the result carries fallback_recommended=True
+    — the caller (IndexUpdater.add) should coalesce instead, since
+    rewriting ~every file without a shuffle costs about what the full
+    fold costs WITH its complete debt reset. Range precision is
+    data-dependent: wide tail-term blocks intersect almost any pid, so a
+    scattered pid set can flag every file even though the true hit blocks
+    are few (bench's index_readd_surgery_100k measures exactly this worst
+    case); pid-local sets (appended segments, time-ordered crawl pids)
+    flag a bounded subset. Leave None to force the surgery (streaming
+    crash rollback must always execute).
     """
     from pyspark.sql import SparkSession
 
     ss = SparkSession.getActiveSession()
     pid_list = sorted({int(p) for p in pids})
-    out = {"files_rewritten": 0, "files_total": 0, "pids": len(pid_list)}
+    out = {"files_rewritten": 0, "files_total": 0, "pids": len(pid_list),
+           "hit_fraction": 0.0, "fallback_recommended": False}
     if not pid_list or not catalog.table_exists("postings"):
         return out
     catalog.recover_pending_rewrite(ss)  # finish any crashed prior surgery
@@ -445,7 +467,14 @@ def purge_pids(catalog, config: ColBERTConfig, avgdl: float,
         ).select("src").distinct().collect()
     ]
     out["files_total"] = meta.select("src").distinct().count()
-    if not hit_files:
+    out["hit_fraction"] = (
+        len(hit_files) / out["files_total"] if out["files_total"] else 0.0
+    )
+    out["fallback_recommended"] = bool(
+        max_file_fraction is not None
+        and out["hit_fraction"] > max_file_fraction
+    )
+    if out["fallback_recommended"] or not hit_files:
         return out
     blocks = (
         ss.read.option("basePath", catalog.path("postings"))

@@ -104,21 +104,30 @@ class IndexUpdater:
                 for r in tombs.join(added, "pid", "left_semi").collect()
             ]
             self.last_purge = builder.purge_pids(
-                self.catalog, cfg, self.avgdl, readded_pids
+                self.catalog, cfg, self.avgdl, readded_pids,
+                max_file_fraction=cfg.purge_fallback_file_fraction,
             )
-            remaining = tombs.join(added, "pid", "left_anti").localCheckpoint(
-                eager=True
-            )
-            if remaining.take(1):
-                self.catalog.replace(remaining, "tombstones")
-                tombs = remaining  # checkpoint survives the table swap
-            else:
-                self.catalog.delete_table("tombstones")
+            if self.last_purge["fallback_recommended"]:
+                # the pid set's block ranges flag ~every posting file —
+                # surgery would rewrite the table without a shuffle for
+                # about the cost of the full fold, so take the fold and
+                # its complete debt reset instead
+                removed = tombs.localCheckpoint(eager=True)
+                builder.coalesce_index(self.catalog, cfg, self.avgdl)
                 tombs = None
-            self.catalog.refresh(self.spark)
-            removed = self.spark.createDataFrame(
-                [(int(p),) for p in readded_pids], "pid long"
-            )
+            else:
+                remaining = tombs.join(added, "pid", "left_anti") \
+                    .localCheckpoint(eager=True)
+                if remaining.take(1):
+                    self.catalog.replace(remaining, "tombstones")
+                    tombs = remaining  # checkpoint survives the table swap
+                else:
+                    self.catalog.delete_table("tombstones")
+                    tombs = None
+                self.catalog.refresh(self.spark)
+                removed = self.spark.createDataFrame(
+                    [(int(p),) for p in readded_pids], "pid long"
+                )
         else:
             removed = None
         live = self.catalog.read(self.spark, "doc_stats").select("pid")

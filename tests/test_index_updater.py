@@ -251,7 +251,11 @@ def test_purge_crash_recovery_via_journal(spark, env, monkeypatch):
     """A crash between the journal write and the file moves/deletes leaves
     a redo journal; the next reader (Searcher) completes the surgery
     deterministically before serving queries."""
+    import dataclasses
     cfg, docs, queries = env
+    # scattered low pids flag every file → the default policy would
+    # coalesce; force the surgery so the journal machinery is exercised
+    cfg = dataclasses.replace(cfg, purge_fallback_file_fraction=2.0)
     import pathlib as _pl
     cat = IndexCatalog(str(_pl.Path(cfg.index_root) / "u1"))
     before = _rank(spark, cfg, queries)
@@ -264,6 +268,7 @@ def test_purge_crash_recovery_via_journal(spark, env, monkeypatch):
                         lambda self, spark_: None)
     up = IndexUpdater("u1", spark, cfg)
     up.add(docs.filter(F.col("pid").isin(victims)))
+    assert up.last_purge["fallback_recommended"] is False
     monkeypatch.setattr(IndexCatalog, "_redo_rewrite", real_redo)
     assert cat.has_pending_rewrite()
 
@@ -301,3 +306,24 @@ def test_segment_debt_and_maintain(spark, env):
     d2 = up3.segment_debt()
     assert d2["appended_blocks"] == 0 and d2["tombstones"] == 0
     assert _rank(spark, cfg, queries) == before  # fold preserves rankings
+
+
+def test_readd_scattered_pids_falls_back_to_full_fold(spark, env):
+    """Range precision is data-dependent: re-adding pids that sit inside
+    (nearly) every block range flags ~all files, and the policy takes the
+    full coalesce (complete debt reset for the same write volume) instead
+    of a whole-table no-shuffle rewrite. Rankings still restore exactly."""
+    cfg, docs, queries = env
+    before = _rank(spark, cfg, queries)
+    victims = sorted({r[1] for r in before})[:3]  # low pids ⊂ every range
+    up = IndexUpdater("u1", spark, cfg)
+    up.remove(victims)
+    up2 = IndexUpdater("u1", spark, cfg)
+    up2.add(docs.filter(F.col("pid").isin(victims)))
+    assert up2.last_purge["fallback_recommended"] is True
+    assert up2.last_purge["files_rewritten"] == 0  # surgery never ran
+    import pathlib
+    assert not pathlib.Path(  # coalesce folded ALL tombstones
+        IndexCatalog(str(pathlib.Path(cfg.index_root) / "u1"))
+        .path("tombstones")).exists()
+    assert _rank(spark, cfg, queries) == before
