@@ -154,36 +154,44 @@ def main() -> None:
           lambda: _builder.coalesce_index(_cat_big, cfg_big, _avgdl),
           reps=1)  # one-shot state: the tombstones are applied by rep 1
 
-    # r5: block-targeted re-add surgery over the same 100k index — the
-    # remove→re-add maintenance cycle, FORCED through purge_pids
-    # (purge_fallback_file_fraction=2.0) to track the raw surgery cost
-    # round-over-round. This probe is the documented WORST case: the
-    # bench corpus uses hash-scattered pids, so wide tail-term block
-    # ranges flag every file (hit stats recorded below) — the default
-    # policy (fraction > 0.8) would take the full coalesce here; pid-
-    # local workloads (appended segments, assign_pids' sequential ids at
-    # crawl ingest) flag a bounded subset (pytest evidence).
-    import dataclasses as _dc
-
-    cfg_force = _dc.replace(cfg_big, purge_fallback_file_fraction=2.0)
+    # r5: the remove→re-add maintenance cycle over the same 100k index.
+    # With the LSM epoch model this is a PURE APPEND (remove = tombstone
+    # rows with an epoch bound; re-add = a fresh-epoch segment; zero
+    # existing blocks or files touched) — the number a crawl workload
+    # (re-captured URLs) actually pays per batch, vs the full coalesce
+    # probe above.
     # materialize the victim rows once — limit() re-evaluation could pick
     # a different 50 between remove() and add() and trip the clash check
     _victim_rows = big.limit(50).collect()
     _victim_ids = [r["pid"] for r in _victim_rows]
     _victims = spark.createDataFrame(_victim_rows, big.schema)
 
+    def _readd_epoch():
+        IndexUpdater("bench100k", spark, cfg_big).remove(_victim_ids)
+        IndexUpdater("bench100k", spark, cfg_big).add(_victims)
+
+    timed("index_readd_epoch_100k", _readd_epoch, reps=1)
+
+    # r5: EAGER physical purge of the same 50 docs, FORCED through the
+    # block-targeted file surgery (fallback fraction 2.0) to track the
+    # raw surgery cost round-over-round. This is the documented WORST
+    # case: hash-scattered pids make wide tail-term block ranges flag
+    # every file (hit stats recorded) — the default policy (fraction >
+    # 0.8) would coalesce here; pid-local sets flag a bounded subset
+    # (pytest evidence).
+    import dataclasses as _dc
+
+    cfg_force = _dc.replace(cfg_big, purge_fallback_file_fraction=2.0)
     surgery_stats = {}
 
-    def _readd_surgery():
-        IndexUpdater("bench100k", spark, cfg_force).remove(_victim_ids)
+    def _purge_surgery():
         up = IndexUpdater("bench100k", spark, cfg_force)
-        up.add(_victims)
-        surgery_stats["readd_files_rewritten"] = up.last_purge["files_rewritten"]
-        surgery_stats["readd_files_total"] = up.last_purge["files_total"]
-        surgery_stats["readd_hit_fraction"] = round(
-            up.last_purge["hit_fraction"], 3)
+        out = up.purge(_victim_ids)
+        surgery_stats["purge_files_rewritten"] = out["files_rewritten"]
+        surgery_stats["purge_files_total"] = out["files_total"]
+        surgery_stats["purge_hit_fraction"] = round(out["hit_fraction"], 3)
 
-    timed("index_readd_surgery_100k", _readd_surgery, reps=1)
+    timed("index_purge_surgery_100k", _purge_surgery, reps=1)
 
     # headline_total covers the round-1 key set only, so the driver's
     # round-over-round comparison stays apples-to-apples; probes added in

@@ -808,12 +808,14 @@ def _search_ranked(spark, cfg, name):
 def q_search_after_update(spark, sf_dir):
     """Incremental maintenance end-to-end (§2.9, reference
     colbert/index_updater.py remove/add/persist): tombstone 30 pids, then
-    re-add the same docs — which forces a compaction (coalesce) plus a
-    frozen-stats segment append — and search the updated index. Because
+    re-add the same docs — a PURE APPEND under the r5 epoch model (the
+    old postings stay excluded by the tombstones' epoch bound; no
+    existing block is touched) — and search the updated index. Because
     the base index was built on the FULL corpus, the frozen stats equal
     full-corpus stats, so the result must be bit-identical to the
-    untouched full-corpus BM25 oracle. Exercises tombstones, coalesce,
-    append, and tombstone-clearing in one driver-checked query."""
+    untouched full-corpus BM25 oracle. Exercises epoch tombstones,
+    fresh-epoch append, and readded stamping in one driver-checked
+    query."""
     from colbert_spark.plans.index_updater import IndexUpdater
 
     cfg, name, docs = _indexed_with_removed(spark, sf_dir, "upd")
@@ -826,8 +828,8 @@ def q_search_after_stream_append(spark, sf_dir):
     analog, streaming/indexing.py): tombstone 30 pids, then stream the
     same docs back through stream_index_append — a file-per-trigger
     Structured Streaming source driving IndexUpdater.add micro-batch by
-    micro-batch (the first batch forces a compaction, the rest append
-    frozen-stats segments; exactly-once via the batch-id ledger). The
+    micro-batch (each batch is a pure fresh-epoch append under the r5
+    epoch model; exactly-once via the high-water-mark ledger). The
     base index covers the FULL corpus, so frozen stats equal full-corpus
     stats and the searched result must be bit-identical to the untouched
     full-corpus BM25 oracle."""

@@ -273,8 +273,9 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
     def decode_flat(batches):
         for pdf in batches:
             out = []
-            for term_id, pb, tb, db in zip(
-                pdf["term_id"], pdf["pids"], pdf["tfs"], pdf["dls"]
+            for term_id, block_id, pb, tb, db in zip(
+                pdf["term_id"], pdf["block_id"], pdf["pids"], pdf["tfs"],
+                pdf["dls"]
             ):
                 p = decode_pids(bytes(pb))
                 out.append(pd.DataFrame({
@@ -282,17 +283,32 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
                     "pid": p,
                     "tf": decode_tfs(bytes(tb)),
                     "doclen": decode_tfs(bytes(db)),
+                    # block epoch (salt namespace) — the tombstone fold is
+                    # epoch-bounded: a re-added pid's NEW postings survive
+                    "epoch": int(block_id) >> 32,
                 }))
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    flat = blocks.select("term_id", "pids", "tfs", "dls").mapInPandas(
-        decode_flat, schema="term_id long, pid long, tf long, doclen long"
-    )
-    if catalog.table_exists("tombstones"):
-        flat = flat.join(
-            catalog.read(ss, "tombstones").select("pid"), "pid", "left_anti"
+    flat = blocks.select("term_id", "block_id", "pids", "tfs", "dls") \
+        .mapInPandas(
+            decode_flat,
+            schema="term_id long, pid long, tf long, doclen long, epoch long",
         )
+    if catalog.table_exists("tombstones"):
+        t = catalog.read(ss, "tombstones")
+        if "before_epoch" not in t.columns:
+            # pre-epoch table: exclude every epoch — coalescing once IS the
+            # documented migration path for old indexes
+            t = t.withColumn("before_epoch", F.lit(1 << 62))
+        tombs = t.select(F.col("pid").alias("t_pid"), "before_epoch")
+        flat = flat.join(
+            tombs,
+            (F.col("pid") == F.col("t_pid"))
+            & (F.col("epoch") < F.col("before_epoch")),
+            "left_anti",
+        )
+    flat = flat.drop("epoch")
     enriched = flat.join(F.broadcast(dict_slice), "term_id").select(
         "term_id", "pid", "tf", "doclen",
         F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),
@@ -309,12 +325,16 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
     if catalog.table_exists("tombstones"):
         # doc_stats must shrink with the postings: a compacted-away pid
         # left in doc_stats makes IndexUpdater.add's clash check raise a
-        # false "already live" for a doc that is physically gone
+        # false "already live" for a doc that is physically gone. Only
+        # ACTIVE tombstones (readded null) prune — a re-added pid's NEW
+        # postings just survived the fold, so its doc_stats row must too
+        t2 = catalog.read(ss, "tombstones")
+        gone = (
+            t2.filter(F.col("readded").isNull()) if "readded" in t2.columns
+            else t2
+        ).select("pid")
         catalog.replace(
-            catalog.read(ss, "doc_stats").join(
-                catalog.read(ss, "tombstones").select("pid"), "pid",
-                "left_anti",
-            ),
+            catalog.read(ss, "doc_stats").join(gone, "pid", "left_anti"),
             "doc_stats",
         )
     catalog.delete_table("tombstones")

@@ -51,13 +51,18 @@ def _term_scores(tfs: np.ndarray, dls: np.ndarray, idf: float,
 
 
 def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float,
-                       excluded: np.ndarray | None = None
+                       excluded: "tuple[np.ndarray, np.ndarray] | None" = None
                        ) -> tuple[np.ndarray, np.ndarray]:
     """MaxScore kernel for ONE query's blocks → (top pids, top scores).
 
-    pdf columns: term_id, idf, first_pid, last_pid, max_block_score,
-    pids, tfs, dls. Exact top-k; blocks of non-essential terms that cannot
-    touch any accumulated candidate are never decoded.
+    pdf columns: term_id, block_id, idf, first_pid, last_pid,
+    max_block_score, pids, tfs, dls. Exact top-k; blocks of non-essential
+    terms that cannot touch any accumulated candidate are never decoded.
+
+    excluded: (sorted pid array, aligned before_epoch array) — epoch-aware
+    tombstones. A pid is dropped only from blocks whose epoch
+    (block_id >> 32) < its before_epoch, so a re-added pid's newer
+    postings survive while its removed-era postings are excluded.
     """
     # per-term upper bound = max over its blocks (no decode needed)
     by_term = pdf.groupby("term_id", sort=False)
@@ -79,8 +84,9 @@ def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float,
         )
         essential = suffix_ub[i] >= theta
         new_p, new_s = [acc_pids], [acc_scores]
-        for fp, lp, pb, tb, db in zip(
-            g["first_pid"], g["last_pid"], g["pids"], g["tfs"], g["dls"]
+        for fp, lp, bid, pb, tb, db in zip(
+            g["first_pid"], g["last_pid"], g["block_id"], g["pids"],
+            g["tfs"], g["dls"]
         ):
             if not essential:
                 # update-only: skip blocks not overlapping the accumulator
@@ -92,10 +98,14 @@ def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float,
             scores = _term_scores(decode_tfs(bytes(tb)), decode_tfs(bytes(db)),
                                   idf, avgdl)
             if excluded is not None:
-                keep = ~np.isin(pids, excluded, assume_unique=False)
-                pids, scores = pids[keep], scores[keep]
-                if pids.size == 0:
-                    continue
+                ex_pids, ex_before = excluded
+                # only tombstones whose bound covers THIS block's epoch
+                active = ex_pids[ex_before > (int(bid) >> 32)]
+                if active.size:
+                    keep = ~np.isin(pids, active, assume_unique=False)
+                    pids, scores = pids[keep], scores[keep]
+                    if pids.size == 0:
+                        continue
             if not essential:
                 mask = np.isin(pids, acc_pids, assume_unique=True)
                 pids, scores = pids[mask], scores[mask]
@@ -120,14 +130,18 @@ def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float,
 
 
 def topk_gather(query_blocks: DataFrame, k: int, avgdl: float,
-                excluded: "np.ndarray | None" = None) -> DataFrame:
-    """query_blocks: (qid, term_id, idf, first_pid, last_pid,
+                excluded: "tuple[np.ndarray, np.ndarray] | None" = None
+                ) -> DataFrame:
+    """query_blocks: (qid, term_id, block_id, idf, first_pid, last_pid,
     max_block_score, pids, tfs, dls) → ranking(qid, pid, rank, score).
 
     One applyInPandas group per qid; the kernel does the skipping.
-    excluded: sorted pid array (tombstones) dropped after decode.
+    excluded: (sorted pids, aligned before_epochs) — epoch-aware
+    tombstones dropped after decode (see score_query_blocks).
     """
-    excluded = None if excluded is None or excluded.size == 0 else excluded
+    excluded = (
+        None if excluded is None or excluded[0].size == 0 else excluded
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iloc[0])
@@ -169,11 +183,14 @@ def topk_scatter(blocks: DataFrame, qterms: DataFrame, k: int,
     def _maybe_bcast(df: DataFrame, small: bool):
         return F.broadcast(df) if small else df
 
+    with_epoch = tombstones is not None
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            tids, pids, cores = [], [], []
-            for tid, pb, tb, db in zip(
-                pdf["term_id"], pdf["pids"], pdf["tfs"], pdf["dls"]
+            tids, pids, cores, epochs = [], [], [], []
+            for tid, bid, pb, tb, db in zip(
+                pdf["term_id"], pdf["block_id"], pdf["pids"], pdf["tfs"],
+                pdf["dls"]
             ):
                 p = decode_pids(bytes(pb))
                 c = _term_scores(decode_tfs(bytes(tb)), decode_tfs(bytes(db)),
@@ -181,22 +198,37 @@ def topk_scatter(blocks: DataFrame, qterms: DataFrame, k: int,
                 tids.append(np.full(p.size, tid, dtype=np.int64))
                 pids.append(p)
                 cores.append(c)
+                if with_epoch:
+                    epochs.append(
+                        np.full(p.size, int(bid) >> 32, dtype=np.int64)
+                    )
             if tids:
-                yield pd.DataFrame(
-                    {
-                        "term_id": np.concatenate(tids),
-                        "pid": np.concatenate(pids),
-                        "core": np.concatenate(cores),
-                    }
-                )
+                cols = {
+                    "term_id": np.concatenate(tids),
+                    "pid": np.concatenate(pids),
+                    "core": np.concatenate(cores),
+                }
+                if with_epoch:
+                    cols["epoch"] = np.concatenate(epochs)
+                yield pd.DataFrame(cols)
 
-    partials = blocks.select("term_id", "pids", "tfs", "dls").mapInPandas(
-        kernel, schema="term_id long, pid long, core double"
+    schema = "term_id long, pid long, core double" + (
+        ", epoch long" if with_epoch else ""
     )
+    partials = blocks.select("term_id", "block_id", "pids", "tfs", "dls") \
+        .mapInPandas(kernel, schema=schema)
     if tombstones is not None:
+        # epoch-bounded exclusion: drop (pid, epoch < before_epoch) rows —
+        # a re-added pid's newer postings survive
+        t = tombstones.select(
+            F.col("pid").alias("t_pid"), "before_epoch"
+        )
         partials = partials.join(
-            _maybe_bcast(tombstones.select("pid"), tombstones_small),
-            "pid", "left_anti")
+            _maybe_bcast(t, tombstones_small),
+            (F.col("pid") == F.col("t_pid"))
+            & (F.col("epoch") < F.col("before_epoch")),
+            "left_anti",
+        ).drop("epoch")
     scored = partials.join(F.broadcast(qterms), "term_id").select(
         "qid", "pid", (F.col("idf") * F.col("core")).alias("s")
     )

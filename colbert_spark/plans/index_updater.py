@@ -6,16 +6,32 @@ patches the IVF in memory, WITHOUT retraining centroids; our analog
 appends posting segments computed against FROZEN corpus statistics
 (N, avgdl, idf unchanged) and removes docs via tombstones. Scores for new
 docs therefore use the stats frozen at build time — the exact same
-approximation the reference makes by not re-running k-means. A periodic
-`coalesce` (operators/builder.coalesce_index) folds tombstones + appended
-segments back into clean blocks (analog of utils/coalesce.py).
+approximation the reference makes by not re-running k-means.
 
-remove(pids)  → tombstone rows; search excludes them at decode time.
-add(docs)     → build blocks for the new docs with frozen stats; append
-                as new segments (salt namespace 1<<20 avoids block_id
-                collisions); re-adding a tombstoned pid clears its
-                tombstone (reference re-add semantics,
-                index_updater_test.py:50-208).
+LSM-style epoch model (r5): every append writes under a fresh epoch
+(salt namespace `_ADD_SALT_BASE + seq`, seq a monotone counter in
+metadata.json; block epoch = block_id >> 32). A tombstone row is
+(pid, before_epoch, readded): decode-time exclusion drops the pid ONLY
+from blocks with epoch < before_epoch. Re-adding a removed pid is
+therefore a PURE APPEND — zero existing blocks or files are touched; the
+old postings stay excluded by the epoch bound while the new ones (epoch
+≥ before_epoch) score normally. This is the O(batch) answer to the
+reference updater's patch-only-affected-chunks goal
+(colbert/index_updater.py:176-273) — it patches NOTHING at all and lets
+compaction (`coalesce_index` / `maintain()`) fold the debt physically.
+
+remove(pids) → lazy: tombstone rows with before_epoch = next epoch.
+add(docs)    → append-only: new segments in a fresh epoch; re-added pids
+               get their tombstone stamped readded=<epoch> (they are live
+               again; the row keeps excluding their old postings).
+purge(pids)  → EAGER physical removal (block-targeted file surgery via
+               builder.purge_pids, with the compaction-debt fallback
+               policy) — the explicit maintenance complement of remove().
+maintain()   → debt-driven compaction (appended/tombstone fractions).
+
+Build salts stay < _ADD_SALT_BASE = 2^20: n_salts = ceil(df /
+max_group_postings) ≤ 10^12 / 2^20 ≈ 9.5e5 even for a head term over a
+10^12-doc corpus at the default group bound.
 """
 
 from __future__ import annotations
@@ -29,6 +45,25 @@ from colbert_spark.sources.catalog import make_catalog
 
 _ADD_SALT_BASE = 1 << 20  # keeps appended block_ids disjoint from build-time
 
+#: tombstone table schema (epoch model). Pre-r5 tables lack the epoch
+#: columns; run coalesce_index once (it clears tombstones) before using
+#: r5 maintenance on an old index.
+TOMBSTONES_SCHEMA = "pid long, before_epoch long, readded long"
+
+
+def load_tombstones(catalog, spark: SparkSession) -> DataFrame | None:
+    """(pid, before_epoch, readded) or None. Fails loud on a pre-epoch
+    table rather than guessing exclusion bounds."""
+    if not catalog.table_exists("tombstones"):
+        return None
+    df = catalog.read(spark, "tombstones")
+    if "before_epoch" not in df.columns:
+        raise ValueError(
+            "pre-r5 tombstones table (no epoch columns): run "
+            "builder.coalesce_index once to fold it, then retry"
+        )
+    return df
+
 
 class IndexUpdater:
     def __init__(self, index: str, spark: SparkSession,
@@ -38,108 +73,68 @@ class IndexUpdater:
         cfg.index_name = index
         self.config = cfg
         self.catalog = make_catalog(cfg)
-        meta = self.catalog.read_json("metadata.json")
-        self.num_docs: int = meta["num_docs"]
-        self.avgdl: float = meta["avg_doclen"]
-        #: surgery evidence from the last targeted re-add purge
-        #: ({"files_rewritten", "files_total", "pids"}), None otherwise
+        self.catalog.recover_pending_rewrite(spark)
+        self.meta = self.catalog.read_json("metadata.json")
+        self.num_docs: int = self.meta["num_docs"]
+        self.avgdl: float = self.meta["avg_doclen"]
+        #: surgery evidence from the last purge() call
+        #: ({"files_rewritten", "files_total", "hit_fraction", ...})
         self.last_purge: dict | None = None
+
+    # -- epoch counter -----------------------------------------------------
+    def _next_epoch(self, consume: bool) -> int:
+        """base + seq. consume=True (add) increments the persisted counter
+        AFTER returning the epoch; consume=False (remove) reads the bound
+        that excludes every epoch used so far."""
+        seq = int(self.meta.get("append_seq", 0))
+        if consume:
+            self.meta["append_seq"] = seq + 1
+            self.catalog.write_json("metadata.json", self.meta)
+        return _ADD_SALT_BASE + seq
 
     # -- remove ------------------------------------------------------------
     def remove(self, pids: list[int]) -> None:
-        new = self.spark.createDataFrame([(int(p),) for p in pids], "pid long")
-        if self.catalog.table_exists("tombstones"):
-            old = self.catalog.read(self.spark, "tombstones")
-            merged = old.unionByName(new).dropDuplicates(["pid"])
+        """Lazy removal: tombstone rows excluding every epoch written so
+        far (build blocks' epochs are < _ADD_SALT_BASE < before_epoch).
+        Re-removing a re-added pid refreshes its bound so the newer
+        postings are excluded too. O(|pids|) — never touches postings."""
+        before = self._next_epoch(consume=False)
+        new = self.spark.createDataFrame(
+            [(int(p), before, None) for p in pids], TOMBSTONES_SCHEMA
+        ).dropDuplicates(["pid"])
+        old = load_tombstones(self.catalog, self.spark)
+        if old is not None:
+            merged = old.join(new, "pid", "left_anti").unionByName(new)
         else:
-            merged = new.dropDuplicates(["pid"])
-        # replace() avoids read-from/write-to-same-path (the union reads
-        # the existing tombstones table); tombstone tables can be large —
-        # never collected to the driver (Searcher applies a size guard too)
+            merged = new
+        # replace() avoids read-from/write-to-same-path; tombstone tables
+        # can be large — never collected to the driver (Searcher applies a
+        # size guard too)
         self.catalog.replace(merged, "tombstones")
         self.catalog.refresh(self.spark)
 
     # -- add ---------------------------------------------------------------
     def add(self, docs: DataFrame, id_col: str = "pid",
             text_col: str = "text") -> None:
-        """Append postings for new docs under frozen corpus stats.
-
-        A pid may be added only if absent from the live index. Re-adding a
-        previously removed pid physically purges its old postings first —
-        clearing the tombstone alone would resurrect them alongside the new
-        ones. Up to config.max_purge_pids re-adds this is BLOCK-TARGETED
-        (builder.purge_pids rewrites only the posting files whose block
-        ranges intersect the re-added pids — the reference updater's
-        patch-only-affected-chunks shape, colbert/index_updater.py:176-273);
-        past the threshold a full coalesce is cheaper (compaction debt) and
-        on catalogs without file surgery (Iceberg, until the row-level
-        DELETE path is cluster-validated) the coalesce fallback keeps the
-        semantics.
-        """
+        """Append postings for new docs under frozen corpus stats in a
+        fresh epoch. PURE APPEND — including re-adds of removed pids:
+        their old postings stay excluded by the tombstone's epoch bound
+        (readded stamps them live again), so no existing block or file is
+        read or written. A pid may be added only if absent from the live
+        view (present in doc_stats and not actively tombstoned)."""
         cfg = self.config
-        self.catalog.recover_pending_rewrite(self.spark)
         added = docs.select(F.col(id_col).alias("pid")).distinct()
-        if self.catalog.table_exists("tombstones"):
-            tombs = self.catalog.read(self.spark, "tombstones")
-            readded = tombs.join(added, "pid", "left_semi").count()
-        else:
-            tombs, readded = None, 0
-        if readded and (readded > cfg.max_purge_pids
-                        or not self.catalog.supports_file_rewrite):
-            # compaction-debt / no-surgery fallback: fold the WHOLE
-            # tombstone set in one O(index) pass. localCheckpoint (not
-            # toPandas) keeps the tombstone set on the executors —
-            # tombstone tables can be large (remove()'s own contract) and
-            # the checkpoint stays valid after coalesce deletes the
-            # underlying table
-            removed = tombs.localCheckpoint(eager=True)
-            builder.coalesce_index(self.catalog, cfg, self.avgdl)
-            tombs = None
-        elif readded:
-            # targeted surgery: purge ONLY the re-added pids' postings
-            # (bounded driver list — readded <= max_purge_pids by the
-            # branch above), keep everyone else's tombstones lazy
-            readded_pids = [
-                r["pid"]
-                for r in tombs.join(added, "pid", "left_semi").collect()
-            ]
-            self.last_purge = builder.purge_pids(
-                self.catalog, cfg, self.avgdl, readded_pids,
-                max_file_fraction=cfg.purge_fallback_file_fraction,
-            )
-            if self.last_purge["fallback_recommended"]:
-                # the pid set's block ranges flag ~every posting file —
-                # surgery would rewrite the table without a shuffle for
-                # about the cost of the full fold, so take the fold and
-                # its complete debt reset instead
-                removed = tombs.localCheckpoint(eager=True)
-                builder.coalesce_index(self.catalog, cfg, self.avgdl)
-                tombs = None
-            else:
-                remaining = tombs.join(added, "pid", "left_anti") \
-                    .localCheckpoint(eager=True)
-                if remaining.take(1):
-                    self.catalog.replace(remaining, "tombstones")
-                    tombs = remaining  # checkpoint survives the table swap
-                else:
-                    self.catalog.delete_table("tombstones")
-                    tombs = None
-                self.catalog.refresh(self.spark)
-                removed = self.spark.createDataFrame(
-                    [(int(p),) for p in readded_pids], "pid long"
-                )
-        else:
-            removed = None
+        tombs = load_tombstones(self.catalog, self.spark)
         live = self.catalog.read(self.spark, "doc_stats").select("pid")
         if tombs is not None:
-            live = live.join(tombs, "pid", "left_anti")
-        if removed is not None:
-            live = live.join(removed, "pid", "left_anti")
+            active = tombs.filter(F.col("readded").isNull()).select("pid")
+            live = live.join(active, "pid", "left_anti")
         clash = live.join(added, "pid", "left_semi").count()
         if clash:
             raise ValueError(
                 f"{clash} pid(s) already live in the index; remove() them first"
             )
+        epoch = self._next_epoch(consume=True)
         token_df = builder.tokenize(docs, cfg, id_col=id_col, text_col=text_col)
         if id_col != "pid":
             token_df = token_df.withColumnRenamed(id_col, "pid")
@@ -156,15 +151,14 @@ class IndexUpdater:
             F.coalesce(
                 "idf", bm25f.idf(F.lit(0), self.num_docs)
             ).alias("idf"),
-            F.lit(0).cast("long").alias("salt"),
         )
-        # reuse the build kernel, but in a disjoint block_id namespace
+        # reuse the build kernel, in this append's disjoint epoch namespace
         kernel = builder._make_block_builder(cfg.block_size, self.avgdl,
                                              cfg.k1, cfg.b)
         from colbert_spark.sources.catalog import POSTINGS_SCHEMA
 
         blocks = (
-            enriched.withColumn("salt", F.lit(_ADD_SALT_BASE))
+            enriched.withColumn("salt", F.lit(epoch))
             .repartition(cfg.shuffle_partitions, "term_id")
             .groupBy("term_id", "salt")
             .applyInPandas(kernel, schema=POSTINGS_SCHEMA)
@@ -195,15 +189,76 @@ class IndexUpdater:
         )
         merged_stats = old_stats.unionByName(builder.doc_stats(token_df))
         self.catalog.replace(merged_stats, "doc_stats")
+        # stamp re-added pids live again (their tombstone row keeps
+        # excluding the OLD postings — epoch bound — while this epoch's
+        # postings score normally)
+        if tombs is not None:
+            readded = (
+                tombs.join(added, "pid", "left_semi")
+                .withColumn("readded", F.lit(epoch))
+            )
+            if readded.take(1):
+                rest = tombs.join(added, "pid", "left_anti")
+                self.catalog.replace(rest.unionByName(readded), "tombstones")
         # parquet layout mutated files behind Spark's back — drop any cached
-        # listings so same-session readers see the swapped table
+        # listings so same-session readers see the swapped tables
         self.catalog.refresh(self.spark)
+
+    # -- eager physical removal -------------------------------------------
+    def purge(self, pids: list[int]) -> dict:
+        """EAGER physical removal of pids' postings: block-targeted file
+        surgery (builder.purge_pids — only files whose block pid-ranges
+        intersect are rewritten, journaled swap) with the compaction-debt
+        policy: past config.max_purge_pids pids, or when discovery flags
+        more than config.purge_fallback_file_fraction of the files (wide
+        tail-term ranges — the scattered-pid degenerate case), a full
+        coalesce folds ALL debt instead for the same write volume. Also
+        drops the pids from doc_stats and tombstones. Returns the surgery
+        metrics (fallback_recommended=True when the fold ran)."""
+        cfg = self.config
+        pid_list = sorted({int(p) for p in pids})
+        pid_df = self.spark.createDataFrame(
+            [(p,) for p in pid_list], "pid long"
+        )
+        if (len(pid_list) > cfg.max_purge_pids
+                or not self.catalog.supports_file_rewrite):
+            self.remove(pid_list)
+            builder.coalesce_index(self.catalog, cfg, self.avgdl)
+            self.last_purge = {
+                "files_rewritten": 0, "files_total": 0,
+                "pids": len(pid_list), "hit_fraction": 1.0,
+                "fallback_recommended": True,
+            }
+            return self.last_purge
+        out = builder.purge_pids(
+            self.catalog, cfg, self.avgdl, pid_list,
+            max_file_fraction=cfg.purge_fallback_file_fraction,
+        )
+        if out["fallback_recommended"]:
+            self.remove(pid_list)  # let the fold drop them physically
+            builder.coalesce_index(self.catalog, cfg, self.avgdl)
+        else:
+            stats = self.catalog.read(self.spark, "doc_stats")
+            self.catalog.replace(
+                stats.join(pid_df, "pid", "left_anti"), "doc_stats"
+            )
+            tombs = load_tombstones(self.catalog, self.spark)
+            if tombs is not None:
+                rest = tombs.join(pid_df, "pid", "left_anti") \
+                    .localCheckpoint(eager=True)
+                if rest.take(1):
+                    self.catalog.replace(rest, "tombstones")
+                else:
+                    self.catalog.delete_table("tombstones")
+            self.catalog.refresh(self.spark)
+        self.last_purge = out
+        return out
 
     # -- maintenance -------------------------------------------------------
     def segment_debt(self) -> dict:
         """Compaction debt from block metadata only (column-pruned scan —
         block_id alone; binaries never read): the fraction of blocks in the
-        appended-segment namespace (salt = block_id >> 32 ≥ _ADD_SALT_BASE,
+        appended-segment namespace (epoch = block_id >> 32 ≥ _ADD_SALT_BASE,
         i.e. written by add() under frozen stats rather than by the salted
         build/compaction) and the tombstoned fraction of docs. Both grow
         monotonically between coalesce runs and both degrade query time —
@@ -218,10 +273,8 @@ class IndexUpdater:
                 ).otherwise(0)
             ).alias("appended"),
         ).first()
-        n_tombs = (
-            self.catalog.read(self.spark, "tombstones").count()
-            if self.catalog.table_exists("tombstones") else 0
-        )
+        tombs = load_tombstones(self.catalog, self.spark)
+        n_tombs = tombs.count() if tombs is not None else 0
         blocks_n = int(row["blocks"] or 0)
         return {
             "blocks": blocks_n,

@@ -65,24 +65,32 @@ class Searcher:
     _TOMBSTONE_GATHER_MAX = 100_000
 
     def _load_tombstones(self) -> None:
-        """Removed pids (IndexUpdater.remove analog) — excluded at decode.
+        """Removed pids (IndexUpdater.remove analog) — excluded at decode,
+        epoch-bounded: each row is (pid, before_epoch) and the pid is
+        dropped only from blocks whose epoch < before_epoch (a re-added
+        pid's newer postings score normally).
 
-        Small sets → driver numpy (gather kernel filters after decode).
-        Large sets → DataFrame only (forces scatter; see search_all)."""
+        Small sets → driver numpy pair (gather kernel filters after
+        decode). Large sets → DataFrame only (forces scatter)."""
         import numpy as np
 
-        self.tombstones = None
-        self.tombstones_df = None
-        if not self.catalog.table_exists("tombstones"):
+        from colbert_spark.plans.index_updater import load_tombstones
+
+        self.tombstones = None          # (sorted pids, aligned befores)
+        self.tombstones_df = None       # (pid, before_epoch)
+        tomb = load_tombstones(self.catalog, self.spark)
+        if tomb is None:
             return
-        tomb = self.catalog.read(self.spark, "tombstones").select("pid")
+        tomb = tomb.select("pid", "before_epoch")
         if tomb.limit(self._TOMBSTONE_GATHER_MAX + 1).count() \
                 > self._TOMBSTONE_GATHER_MAX:
             self.tombstones_df = tomb
             return
         rows = tomb.collect()
-        self.tombstones = np.sort(np.array([r["pid"] for r in rows],
-                                           dtype=np.int64))
+        pids = np.array([r["pid"] for r in rows], dtype=np.int64)
+        befores = np.array([r["before_epoch"] for r in rows], dtype=np.int64)
+        order = np.argsort(pids)
+        self.tombstones = (pids[order], befores[order])
 
     # -- query encoding (lexical analog of Searcher.encode) ----------------
     def _query_terms(self, queries: DataFrame) -> DataFrame:
@@ -179,9 +187,11 @@ class Searcher:
             # tombstone set too large for the gather closure — scatter's
             # distributed anti-join is the only scale-safe exclusion
             tomb_df, tomb_small, mode = self.tombstones_df, False, "scatter"
-        elif self.tombstones is not None and self.tombstones.size:
+        elif self.tombstones is not None and self.tombstones[0].size:
             tomb_df = self.spark.createDataFrame(
-                [(int(p),) for p in self.tombstones], "pid long"
+                [(int(p), int(b))
+                 for p, b in zip(self.tombstones[0], self.tombstones[1])],
+                "pid long, before_epoch long",
             )
         if qid_to_pids is not None or mode == "scatter":
             ranking = wand.topk_scatter(blocks, qterms, k, self.avgdl,
@@ -191,7 +201,7 @@ class Searcher:
                                         tombstones_small=tomb_small)
         else:
             qblocks = blocks.join(F.broadcast(qterms), "term_id").select(
-                "qid", "term_id", "idf", "first_pid", "last_pid",
+                "qid", "term_id", "block_id", "idf", "first_pid", "last_pid",
                 "max_block_score", "pids", "tfs", "dls",
             )
             ranking = wand.topk_gather(qblocks, k, self.avgdl,

@@ -164,12 +164,12 @@ def test_large_tombstone_set_forces_scatter(spark, env, monkeypatch):
     assert sorted(map(tuple, r.df.collect())) == expect
 
 
-# -- block-targeted re-add surgery (r5) ---------------------------------------
-# The re-add path must patch only posting files whose block [first_pid,
-# last_pid] ranges intersect the re-added pids (reference updater patches
-# only affected chunks, colbert/index_updater.py:176-273) — never the whole
-# index. The fixture appends a high-pid segment disjoint from the 0..199
-# build, so purging those pids can only ever hit the appended files.
+# -- epoch re-add + eager purge surgery (r5) ---------------------------------
+# LSM epoch model: remove() = tombstone rows with an epoch bound; re-add =
+# pure append in a fresh epoch (zero existing blocks/files touched — the
+# O(batch) answer to the reference updater's patch-only-affected-chunks
+# goal, colbert/index_updater.py:176-273). purge() = EAGER physical
+# removal via block-targeted file surgery with the compaction-debt policy.
 
 
 def _postings_files(cat):
@@ -180,42 +180,49 @@ def _postings_files(cat):
     }
 
 
-def test_readd_surgery_touches_bounded_file_subset(spark, env):
+def test_readd_is_pure_append_zero_files_touched(spark, env):
+    """The headline property: a remove -> re-add cycle leaves EVERY
+    pre-existing posting file byte-untouched (only new-epoch files
+    appear) and restores rankings exactly — regardless of pid locality
+    (these victims sit inside every block range)."""
     cfg, docs, queries = env
     import pathlib as _pl
     cat = IndexCatalog(str(_pl.Path(cfg.index_root) / "u1"))
-    build_files = _postings_files(cat)
+    before = _rank(spark, cfg, queries)
+    victims = sorted({r[1] for r in before})[:3]
 
-    new = spark.createDataFrame(
-        [(1000, "zzseg one two t00003"), (1001, "zzseg three four")],
-        "pid long, text string",
-    )
-    IndexUpdater("u1", spark, cfg).add(new)
-    s = Searcher("u1", spark, cfg)
-    with_seg = sorted(map(tuple, s.search_all(queries, k=10).df.collect()))
-    pids, _, _ = s.search("zzseg", k=5)
-    assert set(pids) == {1000, 1001}
+    IndexUpdater("u1", spark, cfg).remove(victims)
+    files_after_remove = _postings_files(cat)
+
+    IndexUpdater("u1", spark, cfg).add(docs.filter(F.col("pid").isin(victims)))
+    files_after_add = _postings_files(cat)
+    for f, sig in files_after_remove.items():
+        assert files_after_add.get(f) == sig, f"existing file {f} touched"
+    assert len(files_after_add) > len(files_after_remove)  # new epoch files
+    assert _rank(spark, cfg, queries) == before  # frozen stats => exact
+
+
+def test_readd_then_remove_again_excludes_new_postings(spark, env):
+    """Epoch bounds must refresh on re-removal: remove -> re-add ->
+    remove again excludes BOTH generations of postings; coalesce folds
+    them physically; a final re-add restores."""
+    cfg, docs, queries = env
+    before = _rank(spark, cfg, queries)
+    victims = sorted({r[1] for r in before})[:2]
+    readd = docs.filter(F.col("pid").isin(victims))
+
+    IndexUpdater("u1", spark, cfg).remove(victims)
+    after_remove = _rank(spark, cfg, queries)
+    IndexUpdater("u1", spark, cfg).add(readd)
+    assert _rank(spark, cfg, queries) == before
+    IndexUpdater("u1", spark, cfg).remove(victims)
+    assert _rank(spark, cfg, queries) == after_remove  # both epochs excluded
 
     up = IndexUpdater("u1", spark, cfg)
-    up.remove([1000])
-    up2 = IndexUpdater("u1", spark, cfg)
-    up2.add(new.filter(F.col("pid") == 1000))
-
-    purge = up2.last_purge
-    assert purge is not None and purge["files_rewritten"] >= 1
-    # pid 1000 lies outside every build-time block range (corpus pids
-    # 0..199), so the surgery was confined to the appended segment files
-    assert purge["files_rewritten"] < purge["files_total"]
-    after_files = _postings_files(cat)
-    for f, sig in build_files.items():
-        assert after_files.get(f) == sig, f"build file {f} was touched"
-
-    # frozen stats ⇒ exact restoration, and no duplicate postings
-    s2 = Searcher("u1", spark, cfg)
-    assert sorted(map(tuple, s2.search_all(queries, k=10).df.collect())) \
-        == with_seg
-    pids2, _, scores2 = s2.search("zzseg", k=5)
-    assert set(pids2) == {1000, 1001}
+    builder.coalesce_index(up.catalog, up.config, up.avgdl)
+    assert _rank(spark, cfg, queries) == after_remove  # fold preserves view
+    IndexUpdater("u1", spark, cfg).add(readd)
+    assert _rank(spark, cfg, queries) == before
 
 
 def test_purge_pids_noop_when_absent(spark, env):
@@ -229,22 +236,67 @@ def test_purge_pids_noop_when_absent(spark, env):
     assert _postings_files(cat) == before
 
 
-def test_readd_over_threshold_falls_back_to_coalesce(spark, env):
+def test_purge_bounded_file_subset(spark, env):
+    """Eager purge of an appended-segment pid rewrites ONLY the appended
+    files (pid 1000 lies outside every build-time block range)."""
+    cfg, docs, queries = env
+    import pathlib as _pl
+    cat = IndexCatalog(str(_pl.Path(cfg.index_root) / "u1"))
+    build_files = _postings_files(cat)
+
+    new = spark.createDataFrame(
+        [(1000, "zzseg one two t00003"), (1001, "zzseg three four")],
+        "pid long, text string",
+    )
+    IndexUpdater("u1", spark, cfg).add(new)
+    s = Searcher("u1", spark, cfg)
+    assert set(s.search("zzseg", k=5)[0]) == {1000, 1001}
+
+    up = IndexUpdater("u1", spark, cfg)
+    out = up.purge([1000])
+    assert out["fallback_recommended"] is False
+    assert 1 <= out["files_rewritten"] < out["files_total"]
+    after_files = _postings_files(cat)
+    for f, sig in build_files.items():
+        assert after_files.get(f) == sig, f"build file {f} was touched"
+    assert Searcher("u1", spark, cfg).search("zzseg", k=5)[0] == [1001]
+
+
+def test_purge_over_threshold_falls_back_to_coalesce(spark, env):
     cfg, docs, queries = env
     import dataclasses
     small = dataclasses.replace(cfg, max_purge_pids=1)
     before = _rank(spark, cfg, queries)
     victims = sorted({r[1] for r in before})[:3]
     up = IndexUpdater("u1", spark, small)
-    up.remove(victims)
-    up2 = IndexUpdater("u1", spark, small)
-    up2.add(docs.filter(F.col("pid").isin(victims)))
-    assert up2.last_purge is None  # debt threshold → full coalesce path
+    out = up.purge(victims)
+    assert out["fallback_recommended"] is True
     import pathlib
     assert not pathlib.Path(
         IndexCatalog(str(pathlib.Path(cfg.index_root) / "u1"))
         .path("tombstones")).exists()
-    assert _rank(spark, cfg, queries) == before
+    after = _rank(spark, cfg, queries)
+    assert not ({r[1] for r in after} & set(victims))
+
+
+def test_purge_scattered_pids_falls_back_to_full_fold(spark, env):
+    """Range precision is data-dependent: purging pids that sit inside
+    (nearly) every block range flags ~all files, and the policy takes the
+    full coalesce (complete debt reset for the same write volume) instead
+    of a whole-table no-shuffle rewrite."""
+    cfg, docs, queries = env
+    before = _rank(spark, cfg, queries)
+    victims = sorted({r[1] for r in before})[:3]  # low pids in every range
+    up = IndexUpdater("u1", spark, cfg)
+    out = up.purge(victims)
+    assert out["fallback_recommended"] is True
+    assert out["files_rewritten"] == 0  # surgery never ran
+    import pathlib
+    assert not pathlib.Path(
+        IndexCatalog(str(pathlib.Path(cfg.index_root) / "u1"))
+        .path("tombstones")).exists()
+    after = _rank(spark, cfg, queries)
+    assert not ({r[1] for r in after} & set(victims))
 
 
 def test_purge_crash_recovery_via_journal(spark, env, monkeypatch):
@@ -253,7 +305,7 @@ def test_purge_crash_recovery_via_journal(spark, env, monkeypatch):
     deterministically before serving queries."""
     import dataclasses
     cfg, docs, queries = env
-    # scattered low pids flag every file → the default policy would
+    # scattered low pids flag every file -> the default policy would
     # coalesce; force the surgery so the journal machinery is exercised
     cfg = dataclasses.replace(cfg, purge_fallback_file_fraction=2.0)
     import pathlib as _pl
@@ -261,21 +313,23 @@ def test_purge_crash_recovery_via_journal(spark, env, monkeypatch):
     before = _rank(spark, cfg, queries)
     victims = sorted({r[1] for r in before})[:2]
     IndexUpdater("u1", spark, cfg).remove(victims)
+    after_remove = _rank(spark, cfg, queries)
 
     # crash simulation: staging + journal land, mutation step never runs
     real_redo = IndexCatalog._redo_rewrite
     monkeypatch.setattr(IndexCatalog, "_redo_rewrite",
                         lambda self, spark_: None)
     up = IndexUpdater("u1", spark, cfg)
-    up.add(docs.filter(F.col("pid").isin(victims)))
-    assert up.last_purge["fallback_recommended"] is False
+    out = up.purge(victims)
+    assert out["fallback_recommended"] is False
     monkeypatch.setattr(IndexCatalog, "_redo_rewrite", real_redo)
     assert cat.has_pending_rewrite()
 
     s = Searcher("u1", spark, cfg)  # recovery point
     assert not cat.has_pending_rewrite()
+    # purged pids are physically gone == the tombstone-filtered view
     assert sorted(map(tuple, s.search_all(queries, k=10).df.collect())) \
-        == before
+        == after_remove
 
 
 def test_segment_debt_and_maintain(spark, env):
@@ -308,22 +362,3 @@ def test_segment_debt_and_maintain(spark, env):
     assert _rank(spark, cfg, queries) == before  # fold preserves rankings
 
 
-def test_readd_scattered_pids_falls_back_to_full_fold(spark, env):
-    """Range precision is data-dependent: re-adding pids that sit inside
-    (nearly) every block range flags ~all files, and the policy takes the
-    full coalesce (complete debt reset for the same write volume) instead
-    of a whole-table no-shuffle rewrite. Rankings still restore exactly."""
-    cfg, docs, queries = env
-    before = _rank(spark, cfg, queries)
-    victims = sorted({r[1] for r in before})[:3]  # low pids ⊂ every range
-    up = IndexUpdater("u1", spark, cfg)
-    up.remove(victims)
-    up2 = IndexUpdater("u1", spark, cfg)
-    up2.add(docs.filter(F.col("pid").isin(victims)))
-    assert up2.last_purge["fallback_recommended"] is True
-    assert up2.last_purge["files_rewritten"] == 0  # surgery never ran
-    import pathlib
-    assert not pathlib.Path(  # coalesce folded ALL tombstones
-        IndexCatalog(str(pathlib.Path(cfg.index_root) / "u1"))
-        .path("tombstones")).exists()
-    assert _rank(spark, cfg, queries) == before
