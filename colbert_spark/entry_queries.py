@@ -965,8 +965,88 @@ def q_ann_ivf_top5(spark, sf_dir):
                                       n_probe=6, quantizer="first_k")
 
 
+def q_decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs (id ≥ 20) sharing ≥ 2
+    distinct 3-grams with the held-out set (id < 20) — the GPT-3/Gopher
+    leak gate. Eval n-gram set broadcast; corpus never shuffled for the
+    membership test."""
+    from colbert_spark.operators import decontam
+
+    docs = _docs(spark, sf_dir)
+    return decontam.ngram_decontaminate(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n=3, min_overlap=2,
+    )
+
+
+def q_dedup_cross_corpus(spark, sf_dir):
+    """Cross-generation exact dedup: docs 100..599 that do NOT repeat any
+    normalized text already present in docs < 100 (anti-join on 16-byte
+    fingerprints, never text)."""
+    from colbert_spark.operators import decontam
+
+    docs = _docs(spark, sf_dir)
+    surv = decontam.exact_cross_dedup(
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 600)),
+        docs.filter(F.col("doc_id") < 100),
+    )
+    return surv.select("doc_id", "source")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (2-gram duplicate and
+    top-gram fractions) — the boilerplate/spam page detector."""
+    return textstats.repetition_stats(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 200), n=2
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over deterministically-augmented text
+    (the fixture has no PII, so each engine injects the same synthetic
+    email/IP/phone snippets before the shared regex pass)."""
+    mod4 = F.col("doc_id") % 4
+    aug = F.concat(
+        F.col("text"),
+        F.when(mod4 == 0, F.concat(
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com soon")))
+        .when(mod4 == 1, F.concat(
+            F.lit(" host 10.2."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".77 flaky")))
+        .when(mod4 == 2, F.concat(
+            F.lit(" dial +555 010-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"), F.lit(" today")))
+        .otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select(
+        "doc_id", aug.alias("text")
+    )
+    return textstats.pii_stats(docs)
+
+
+def q_domain_mix_budget(spark, sf_dir):
+    """Token-budget data-recipe mixing: per-source hash sample sized to a
+    token budget (src0→2000, src1→1000, src2→500, others→1500), reported
+    as the per-source recipe summary."""
+    from colbert_spark.operators.sampling import mix_by_token_budget
+
+    return mix_by_token_budget(
+        _docs(spark, sf_dir),
+        {"src0": 2000, "src1": 1000, "src2": 500},
+        default_budget=1500, portable_hash=True,
+    )
+
+
 QUERIES = {
     "bm25_top10": q_bm25_top10,
+    # new in r5 — front of the line so a row-capped driver run covers them
+    "decontaminate_ngram": q_decontaminate_ngram,
+    "dedup_cross_corpus": q_dedup_cross_corpus,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "domain_mix_budget": q_domain_mix_budget,
     # r4's driver run happened not to reach these four (row cap?) — they
     # sit first in line so every driver run covers them (VERDICT r4 item 7)
     "dedup_embedding": q_dedup_embedding,
@@ -2311,4 +2391,154 @@ SELECT x.doc_id AS a, y.doc_id AS b,
             AS BIGINT) AS hamming
 FROM sig x JOIN sig y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 12
+"""
+
+# r5 pipeline additions -----------------------------------------------------
+
+# Decontamination: distinct 3-grams per doc; eval set = docs < 20. DuckDB
+# replays the shingle construction with 1-based inclusive list slices
+# (terms[i:i+2] == Spark concat_ws of t[i-1..i+1]).
+ORACLE["decontaminate_ngram"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents
+),
+cs AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(terms) - 1),
+                i -> array_to_string(terms[i:i+2], ' ')))) AS shingle
+  FROM t WHERE doc_id >= 20
+),
+es AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_distinct(list_transform(range(1, len(terms) - 1),
+           i -> array_to_string(terms[i:i+2], ' ')))) AS shingle
+    FROM t WHERE doc_id < 20
+  )
+),
+perdoc AS (SELECT doc_id, count(*) AS n_doc_ngrams FROM cs GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit_ngrams
+  FROM cs JOIN es USING (shingle) GROUP BY doc_id
+)
+SELECT h.doc_id, p.n_doc_ngrams, h.n_hit_ngrams
+FROM hits h JOIN perdoc p USING (doc_id)
+WHERE h.n_hit_ngrams >= 2
+"""
+
+# Cross-corpus exact dedup: fingerprint = md5 of the normalized token
+# stream; coalesce guards the documented array_to_string-NULL-on-empty
+# DuckDB gotcha.
+ORACLE["dedup_cross_corpus"] = """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(coalesce(array_to_string(
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''), ' '), '')) AS f
+  FROM documents
+),
+seen AS (SELECT DISTINCT f FROM fp WHERE doc_id < 100)
+SELECT doc_id, source FROM fp
+WHERE doc_id >= 100 AND doc_id < 600
+  AND f NOT IN (SELECT f FROM seen)
+"""
+
+ORACLE["repetition_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents WHERE doc_id < 200
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(terms)),
+                i -> array_to_string(terms[i:i+1], ' '))) AS gram
+  FROM t
+),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+a AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_ngrams,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_ngram_count,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM pg GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, n_distinct, top_ngram_count,
+       round(dup * 1.0 / n_ngrams, 6) AS dup_ngram_ratio,
+       round(top_ngram_count * 1.0 / n_ngrams, 6) AS top_ngram_ratio
+FROM a
+"""
+
+# PII scrub: both engines augment the text identically, then run the SAME
+# three patterns (Java-regex ∩ RE2 semantics) in the same order.
+ORACLE["pii_scrub"] = """
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com soon'
+           WHEN 1 THEN ' host 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.77 flaky'
+           WHEN 2 THEN ' dial +555 010-'
+                       || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' today'
+           ELSE '' END AS t
+  FROM documents WHERE doc_id < 150
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t,
+    '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS BIGINT) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+    '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g') AS redacted
+FROM aug
+"""
+
+# Token-budget domain mixing: replays sampling.mix_by_token_budget —
+# per-source totals → keep_ppm = floor(least(1, budget/total)·1e6) →
+# hash-threshold keep → kept summary. Division order (budget·1.0/total,
+# then ·1e6, then floor) mirrors the Spark expression exactly.
+_H_DOC42 = _SQL_H64.format(x="concat(CAST(doc_id AS VARCHAR), ':', '42')")
+ORACLE["domain_mix_budget"] = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+              '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n,
+         {_H_DOC42} % 1000000 AS bucket
+  FROM documents
+),
+t AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+  FROM b GROUP BY source
+),
+p AS (
+  SELECT source, n_docs, total_tokens,
+         CAST(CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000
+              WHEN 'src2' THEN 500 ELSE 1500 END AS BIGINT) AS budget_tokens
+  FROM t
+),
+p2 AS (
+  SELECT *,
+         CASE WHEN total_tokens = 0 THEN CAST(1000000 AS BIGINT)
+              ELSE CAST(floor(least(1.0, budget_tokens * 1.0 / total_tokens)
+                        * 1000000) AS BIGINT) END AS keep_ppm
+  FROM p
+),
+k AS (
+  SELECT b.source, count(*) AS kept_docs, CAST(sum(b.n) AS BIGINT) AS kept_tokens
+  FROM b JOIN p2 ON b.source = p2.source
+  WHERE b.bucket < p2.keep_ppm GROUP BY b.source
+)
+SELECT p2.source, p2.n_docs, p2.total_tokens, p2.budget_tokens, p2.keep_ppm,
+       CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM p2 LEFT JOIN k ON p2.source = k.source
 """

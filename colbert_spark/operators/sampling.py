@@ -74,3 +74,71 @@ def stratified_sample(docs: DataFrame, fractions: dict[str, float],
         thresh = F.when(F.col(strata_col) == s,
                         F.lit(int(round(f * _DENOM)))).otherwise(thresh)
     return docs.filter(_keep_hash(id_col, seed, portable_hash) < thresh)
+
+
+def mix_by_token_budget(docs: DataFrame, budgets: dict[str, int],
+                        strata_col: str = "source", id_col: str = "doc_id",
+                        text_col: str = "text", default_budget: int | None = None,
+                        seed: int = 42, portable_hash: bool = False,
+                        summary: bool = True) -> DataFrame:
+    """Data-recipe mixing by TOKEN budget, not row fraction: per stratum,
+    keep a deterministic hash-sample sized so expected kept tokens ≈ the
+    stratum's budget (keep everything when the budget covers the stratum;
+    default_budget=None keeps unlisted strata whole).
+
+    Two-phase, skew-free: (1) a tiny per-stratum token-total aggregate;
+    (2) keep_ppm = floor(least(1, budget/total) * 1e6) broadcast back onto
+    the scan as a hash-threshold filter. The corpus is never window-sorted
+    per source (a per-stratum cumulative-sum trim would funnel each
+    source's 100 TB through one partition); the budget is met in
+    expectation with hash-uniform doc selection, which is what mixture
+    recipes actually specify. The only corpus exchanges are the two
+    stratum aggregates, keyed by the (small) strata column with map-side
+    combine.
+
+    summary=True → (stratum, n_docs, total_tokens, budget_tokens,
+    keep_ppm, kept_docs, kept_tokens); summary=False → the kept doc rows.
+    """
+    from colbert_spark.functions import analysis
+
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget {b} for stratum {s!r} negative")
+    base = docs.select(
+        F.col(strata_col), F.col(id_col),
+        analysis.doclen(text_col).cast("long").alias("_n"),
+        _keep_hash(id_col, seed, portable_hash).alias("_bucket"),
+    )
+    totals = base.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("total_tokens"),
+    )
+    budget = (F.lit(None).cast("long") if default_budget is None
+              else F.lit(int(default_budget)).cast("long"))
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == s, F.lit(int(b))).otherwise(budget)
+    # NULL budget (unlisted stratum, no default) or an all-empty-docs
+    # stratum (total 0 — division semantics differ across engines) →
+    # keep everything
+    ppm = F.when(
+        budget.isNull() | (F.col("total_tokens") == 0), F.lit(_DENOM)
+    ).otherwise(
+        F.floor(F.least(F.lit(1.0), budget / F.col("total_tokens")) * _DENOM)
+    ).cast("long")
+    totals = totals.select(
+        strata_col, "n_docs", "total_tokens",
+        budget.alias("budget_tokens"), ppm.alias("keep_ppm"),
+    )
+    kept_rows = base.join(F.broadcast(totals.select(strata_col, "keep_ppm")),
+                          strata_col).filter(F.col("_bucket") < F.col("keep_ppm"))
+    if not summary:
+        return docs.join(kept_rows.select(id_col), id_col, "left_semi")
+    kept = kept_rows.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("_n").alias("kept_tokens"),
+    )
+    return totals.join(kept, strata_col, "left").select(
+        strata_col, "n_docs", "total_tokens", "budget_tokens", "keep_ppm",
+        F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+    )

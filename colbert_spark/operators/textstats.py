@@ -98,6 +98,78 @@ def lang_id_heuristic(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+#: PII patterns — the intersection of Java-regex and RE2 semantics (no
+#: lookaround, no backrefs) so the DuckDB oracle replays them verbatim.
+#: Redaction applies them in THIS order; the placeholder tokens contain no
+#: digits/@, so later patterns can't match inside earlier replacements.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def pii_stats(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", redact: bool = True) -> DataFrame:
+    """(id, n_email, n_ipv4, n_phone[, redacted]): PII occurrence counts
+    and the scrubbed text — the pre-training privacy pass. Pure codegen
+    (regexp_count/regexp_replace), zero shuffles, zero Python; the pattern
+    set is deliberately conservative (precision over recall) and lives in
+    PII_PATTERNS so recipes extend it in one place."""
+    cols = [F.col(id_col)]
+    for name, pat, _ in PII_PATTERNS:
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+            .alias(f"n_{name}")
+        )
+    if redact:
+        red = F.col(text_col)
+        for _, pat, repl in PII_PATTERNS:
+            red = F.regexp_replace(red, pat, repl)
+        cols.append(red.alias("redacted"))
+    return docs.select(*cols)
+
+
+def repetition_stats(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals over n-grams:
+
+    (id, n_ngrams, n_distinct, top_ngram_count,
+     dup_ngram_ratio = occurrences belonging to repeated n-grams / total,
+     top_ngram_ratio = occurrences of the most frequent n-gram / total)
+
+    High ratios flag boilerplate/spam pages (the Gopher repetition rules,
+    Rae et al. 2021 §A1.1). Docs with fewer than n tokens have no n-grams
+    and are omitted. Two-level aggregation — explode n-grams, count per
+    (id, ngram), fold per id — both exchanges keyed by the doc id (uniform
+    at any corpus size; map-side combine collapses repeats before the
+    first shuffle)."""
+    from colbert_spark.operators.dedup import shingle_expr
+
+    toks = docs.select(
+        F.col(id_col), analysis.tokens(text_col).alias("_t")
+    ).filter(F.size("_t") >= n)
+    grams = toks.select(
+        id_col, F.explode(shingle_expr("_t", n)).alias("_g")
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_ngram_count"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dup"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("top_ngram_count").cast("long").alias("top_ngram_count"),
+        F.round(F.col("_dup") / F.col("n_ngrams"), 6).alias("dup_ngram_ratio"),
+        F.round(F.col("top_ngram_count") / F.col("n_ngrams"), 6)
+        .alias("top_ngram_ratio"),
+    )
+
+
 def token_counts_bpe(docs: DataFrame, group_col: str, text_col: str = "text"
                      ) -> DataFrame:
     """(group, n_docs, total_words, total_subwords, avg_subwords):
