@@ -1039,6 +1039,25 @@ def q_domain_mix_budget(spark, sf_dir):
     )
 
 
+def q_shared_ngram_stats(spark, sf_dir):
+    """Cross-document duplicated-span fractions (substring-dedup proxy):
+    per doc < 400, the share of its distinct 3-grams occurring in other
+    docs too."""
+    from colbert_spark.operators.dedup import shared_ngram_stats
+
+    # the operator registers its persisted slim (id, n-gram) table in
+    # colbert_spark.caching; long-lived callers drain() after collecting
+    return shared_ngram_stats(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 400), n=3
+    )
+
+
+def q_quality_unigram(spark, sf_dir):
+    """Per-doc cross-entropy (bits/token) under the corpus's own unigram
+    model — the LM-quality proxy; both distribution tails are suspect."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "bm25_top10": q_bm25_top10,
     # new in r5 — front of the line so a row-capped driver run covers them
@@ -1047,6 +1066,8 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "domain_mix_budget": q_domain_mix_budget,
+    "shared_ngram_stats": q_shared_ngram_stats,
+    "quality_unigram": q_quality_unigram,
     # r4's driver run happened not to reach these four (row cap?) — they
     # sit first in line so every driver run covers them (VERDICT r4 item 7)
     "dedup_embedding": q_dedup_embedding,
@@ -2541,4 +2562,57 @@ SELECT p2.source, p2.n_docs, p2.total_tokens, p2.budget_tokens, p2.keep_ppm,
        CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
        CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
 FROM p2 LEFT JOIN k ON p2.source = k.source
+"""
+
+# Cross-doc duplicated-span fractions: distinct 3-grams per doc (< 400),
+# duplicated = n-gram seen in >1 doc, re-attached as a hit indicator.
+ORACLE["shared_ngram_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents WHERE doc_id < 400
+),
+cs AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(terms) - 1),
+                i -> array_to_string(terms[i:i+2], ' ')))) AS shingle
+  FROM t
+),
+dg AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(*) AS c FROM cs GROUP BY shingle
+  ) WHERE c > 1
+),
+j AS (
+  SELECT cs.doc_id,
+         CASE WHEN dg.shingle IS NULL THEN 0 ELSE 1 END AS hit
+  FROM cs LEFT JOIN dg USING (shingle)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_doc_ngrams,
+       CAST(sum(hit) AS BIGINT) AS n_shared_ngrams,
+       round(sum(hit) * 1.0 / count(*), 6) AS shared_ratio
+FROM j GROUP BY doc_id
+"""
+
+# Unigram-LM cross-entropy: p(term) = cf/Σcf over the full corpus;
+# bits_per_token = Σ tf·(−log2 p) / doclen, round 6 (double-sum order).
+ORACLE["quality_unigram"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(terms) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf) AS total_cf FROM cf)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS doclen,
+       round(sum(tf * -log2(cf * 1.0 / total_cf)) / sum(tf), 6)
+         AS bits_per_token
+FROM tf JOIN cf USING (term) CROSS JOIN tot
+GROUP BY doc_id
 """

@@ -127,6 +127,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def shared_ngram_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-span signal (the substring-dedup proxy of
+    Lee et al. 2022 / RefinedWeb): per doc, how many of its DISTINCT
+    n-grams also occur in at least one OTHER doc.
+
+    (id, n_doc_ngrams, n_shared_ngrams, shared_ratio) — a shared_ratio
+    near 1.0 marks template/boilerplate pages whole-doc dedup misses.
+
+    Plan: the slim (id, n-gram) table is built once and persisted
+    (caching.register — drain after materializing); duplicated n-grams are
+    those whose doc-count exceeds 1 (map-side-combined groupBy on the
+    n-gram), re-attached with a hit-indicator join, then one per-doc fold.
+    All exchanges key on the n-gram or the doc id; pick n large enough
+    (≥ 8 at web scale) that head n-grams don't concentrate a join key.
+    Docs with fewer than n tokens are omitted."""
+    from pyspark import StorageLevel
+
+    from colbert_spark import caching
+
+    sh = _doc_shingles(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    caching.register(sh, "shared_ngram_stats")
+    dup_grams = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("shingle", F.lit(1).alias("_dup"))
+    )
+    return (
+        sh.join(dup_grams, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_doc_ngrams"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long")
+            .alias("n_shared_ngrams"),
+        )
+        .select(
+            id_col, "n_doc_ngrams", "n_shared_ngrams",
+            F.round(F.col("n_shared_ngrams") / F.col("n_doc_ngrams"), 6)
+            .alias("shared_ratio"),
+        )
+    )
+
+
 def minhash_perm_constants(num_perm: int) -> list[tuple[int, int, int]]:
     """Deterministic MinHash permutation constants (LCG-derived, in [1, p)).
     Pure so the DuckDB oracle can embed the identical table as VALUES."""

@@ -170,6 +170,45 @@ def repetition_stats(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
     )
 
 
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, doclen, bits_per_token): per-doc cross-entropy under the
+    corpus's OWN unigram model — the CCNet-style LM-quality proxy (a real
+    KenLM isn't in this sandbox; the Spark shape is identical, only the
+    model table changes). p(t) = cf_t / Σcf over the full input corpus, so
+    every token has p > 0 by construction (no smoothing term to tune);
+    bits_per_token = Σ tf·(−log2 p(t)) / doclen, rounded 6 (double-sum
+    order differs across engines).
+
+    Outlier docs on BOTH tails are suspect: very high = non-language
+    noise, very low = stopword/template spam. Plan: one tokenize pass →
+    (id, term, tf) with map-side combine → corpus cf aggregate (AQE
+    broadcasts it back when the vocab is small; at 10^8+ vocab it is a
+    term-keyed equi-join) → per-doc fold keyed by id."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(analysis.tokens(text_col))
+                    .alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total_cf"))
+    scored = (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("doclen"),
+            F.sum(F.col("tf") * -F.log2(F.col("cf") / F.col("total_cf")))
+            .alias("_bits"),
+        )
+    )
+    return scored.select(
+        id_col, "doclen",
+        F.round(F.col("_bits") / F.col("doclen"), 6).alias("bits_per_token"),
+    )
+
+
 def token_counts_bpe(docs: DataFrame, group_col: str, text_col: str = "text"
                      ) -> DataFrame:
     """(group, n_docs, total_words, total_subwords, avg_subwords):

@@ -160,3 +160,38 @@ def test_mix_unlisted_stratum_without_default_keeps_all(spark):
     )
     out = mix_by_token_budget(docs, {"other": 1}, portable_hash=True).collect()
     assert out[0]["keep_ppm"] == 1_000_000 and out[0]["kept_docs"] == 2
+
+
+def test_shared_ngram_stats_hand_computed(spark):
+    from colbert_spark import caching
+    from colbert_spark.operators.dedup import shared_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),        # 3-grams: abc bcd cde — abc shared
+            (1, "z a b c q"),        # zab abc bcq — abc shared
+            (2, "m n o p q r"),      # all unique corpus-wide
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in shared_ngram_stats(docs, n=3).collect()}
+    caching.drain(owner="shared_ngram_stats")
+    assert (out[0]["n_doc_ngrams"], out[0]["n_shared_ngrams"]) == (3, 1)
+    assert out[0]["shared_ratio"] == round(1 / 3, 6)
+    assert (out[1]["n_doc_ngrams"], out[1]["n_shared_ngrams"]) == (3, 1)
+    assert (out[2]["n_doc_ngrams"], out[2]["n_shared_ngrams"]) == (4, 0)
+    assert out[2]["shared_ratio"] == 0.0
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b b b a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textstats.unigram_logprob(docs).collect()}
+    # cf: a=3, b=4, total=7
+    b0 = (2 * -math.log2(3 / 7) + 1 * -math.log2(4 / 7)) / 3
+    b1 = (3 * -math.log2(4 / 7) + 1 * -math.log2(3 / 7)) / 4
+    assert out[0]["doclen"] == 3 and out[0]["bits_per_token"] == round(b0, 6)
+    assert out[1]["doclen"] == 4 and out[1]["bits_per_token"] == round(b1, 6)
