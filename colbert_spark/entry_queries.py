@@ -1052,6 +1052,21 @@ def q_shared_ngram_stats(spark, sf_dir):
     )
 
 
+def q_decontaminate_embedding(spark, sf_dir):
+    """Semantic decontamination: corpus vectors (id ≥ 10) within cosine
+    0.30 of any eval vector (id < 10) — the paraphrase-leak gate the
+    lexical n-gram pass misses. Eval side broadcast, zero corpus
+    shuffle before the per-id fold."""
+    from colbert_spark.operators import decontam
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return decontam.embedding_decontaminate(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        threshold=0.30,
+    )
+
+
 def q_quality_unigram(spark, sf_dir):
     """Per-doc cross-entropy (bits/token) under the corpus's own unigram
     model — the LM-quality proxy; both distribution tails are suspect."""
@@ -1068,6 +1083,7 @@ QUERIES = {
     "domain_mix_budget": q_domain_mix_budget,
     "shared_ngram_stats": q_shared_ngram_stats,
     "quality_unigram": q_quality_unigram,
+    "decontaminate_embedding": q_decontaminate_embedding,
     # r4's driver run happened not to reach these four (row cap?) — they
     # sit first in line so every driver run covers them (VERDICT r4 item 7)
     "dedup_embedding": q_dedup_embedding,
@@ -2615,4 +2631,24 @@ SELECT doc_id,
          AS bits_per_token
 FROM tf JOIN cf USING (term) CROSS JOIN tot
 GROUP BY doc_id
+"""
+
+# Semantic decontamination: per-pair cosine rounded 6 (ANN convention),
+# then per-corpus-vector max + hit count over the eval set.
+ORACLE["decontaminate_embedding"] = """
+WITH it AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10
+),
+q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+),
+s AS (
+  SELECT vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS sim
+  FROM it, q
+)
+SELECT vec_id, max(sim) AS max_sim, CAST(count(*) AS BIGINT) AS n_hits
+FROM s WHERE sim >= 0.30 GROUP BY vec_id
 """

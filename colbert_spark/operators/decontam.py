@@ -90,6 +90,56 @@ def ngram_decontaminate(
     return flagged
 
 
+def embedding_decontaminate(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "flag",
+) -> DataFrame:
+    """Semantic (SemDeDup-style) decontamination: corpus vectors whose
+    cosine similarity to ANY eval/benchmark vector reaches `threshold` —
+    catches paraphrased leaks the lexical n-gram gate misses.
+
+    mode='flag'  → (id, max_sim, n_hits) for hit docs (max_sim over the
+                   hit set, per-pair sims rounded like the ANN family);
+    mode='clean' → surviving corpus rows.
+
+    Plan: the eval side is BROADCAST (benchmarks are small by nature) and
+    every corpus partition scores locally — linear in |corpus|·|eval|
+    with zero corpus shuffle before the per-id fold. For an eval set too
+    large to broadcast, block both sides with the LSH machinery
+    (similarity.cosine_near_pairs) instead of this exact pass."""
+    from colbert_spark.operators.similarity import SIM_DECIMALS, _dot, _norm
+
+    if mode not in ("flag", "clean"):
+        raise ValueError(f"mode must be 'flag' or 'clean', got {mode!r}")
+    it = corpus_emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_nv", _norm(F.col("_v")))
+    q = eval_emb.select(
+        F.col(vec_col).cast("array<double>").alias("_qv")
+    ).withColumn("_nq", _norm(F.col("_qv")))
+    sim = F.round(
+        _dot(F.col("_v"), F.col("_qv")) / (F.col("_nv") * F.col("_nq")),
+        SIM_DECIMALS,
+    )
+    hits = (
+        it.join(F.broadcast(q))
+        .select(id_col, sim.alias("_sim"))
+        .filter(F.col("_sim") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.max("_sim").alias("max_sim"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+    )
+    if mode == "clean":
+        return corpus_emb.join(hits.select(id_col), id_col, "left_anti")
+    return hits
+
+
 def exact_cross_dedup(
     corpus: DataFrame,
     other: DataFrame,

@@ -195,3 +195,29 @@ def test_unigram_logprob_hand_computed(spark):
     b1 = (3 * -math.log2(4 / 7) + 1 * -math.log2(3 / 7)) / 4
     assert out[0]["doclen"] == 3 and out[0]["bits_per_token"] == round(b0, 6)
     assert out[1]["doclen"] == 4 and out[1]["bits_per_token"] == round(b1, 6)
+
+
+def test_embedding_decontaminate_flag_and_clean(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),      # hits both eval vecs (sim 1.0 and ~0.995)
+            (11, [3.0, 0.0]),      # same direction, scale-invariant
+            (12, [0.0, 1.0]),      # orthogonal to both → clean
+            (13, [-1.0, 0.0]),     # opposite → clean
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [10.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in decontam.embedding_decontaminate(corpus, ev, threshold=0.9).collect()
+    }
+    assert set(out) == {10, 11}
+    assert out[10]["n_hits"] == 2 and out[10]["max_sim"] == 1.0
+    assert out[11]["n_hits"] == 2 and out[11]["max_sim"] == 1.0
+    clean = decontam.embedding_decontaminate(
+        corpus, ev, threshold=0.9, mode="clean"
+    )
+    assert {r["vec_id"] for r in clean.collect()} == {12, 13}
