@@ -113,6 +113,18 @@ def main() -> None:
           lambda: similarity.cosine_near_pairs(
               emb, threshold=0.95, blocking="lsh").count())
 
+    # r5: the three heaviest new curation operators, tracked round-over-
+    # round — eval-set n-gram decontamination (broadcast benchmark grams,
+    # one corpus scan), cross-document duplicated-span stats (slim
+    # (id, gram) table + hit-indicator re-attach), and unigram-LM quality
+    # scoring (corpus-own LM: tiny totals agg → broadcast → per-doc fold)
+    timed("decontaminate_ngram",
+          lambda: entry_queries.q_decontaminate_ngram(spark, sf_dir).count())
+    timed("shared_ngram_stats",
+          lambda: entry_queries.q_shared_ngram_stats(spark, sf_dir).count())
+    timed("quality_unigram",
+          lambda: entry_queries.q_quality_unigram(spark, sf_dir).count())
+
     # new in r2: rerank-over-candidates through the allow-list scatter path
     allow = searcher.search_all(queries, k=20).df.select("qid", "pid")
     allow_rows = allow.collect()
