@@ -202,6 +202,36 @@ def test_readd_is_pure_append_zero_files_touched(spark, env):
     assert _rank(spark, cfg, queries) == before  # frozen stats => exact
 
 
+def test_add_writes_at_most_one_file_per_bucket(spark, env):
+    """Small-files guard: one append lands AT MOST index_partitions new
+    posting files (each bucket co-located into one task before the
+    partitionBy write, mirroring the build layout). The unaligned layout
+    this regresses — hash-by-term_id tasks each spanning ~every mod-based
+    bucket — wrote up to tasks×buckets tiny files per micro-batch
+    (measured 655 for a 50-doc append at 32×32), which no object-store
+    listing survives at streaming scale."""
+    cfg, docs, queries = env
+    import pathlib as _pl
+    cat = IndexCatalog(str(_pl.Path(cfg.index_root) / "u1"))
+    before = set(_postings_files(cat))
+
+    # 40 docs over the full shared vocabulary → blocks in every bucket,
+    # the worst case for write fan-out
+    new_pdf = gen_docs_pdf(np.arange(40))
+    new_pdf["pid"] = np.arange(5000, 5040)
+    IndexUpdater("u1", spark, cfg).add(
+        spark.createDataFrame(new_pdf[["pid", "text"]]))
+
+    new_files = set(_postings_files(cat)) - before
+    assert 0 < len(new_files) <= cfg.index_partitions, (
+        f"append fanned out into {len(new_files)} files "
+        f"(> index_partitions={cfg.index_partitions})")
+    # and the appended docs are actually searchable through the new layout
+    s = Searcher("u1", spark, cfg)
+    pids, _, _ = s.search("t00000 t00004 t00007", k=50)
+    assert any(p >= 5000 for p in pids)
+
+
 def test_readd_then_remove_again_excludes_new_postings(spark, env):
     """Epoch bounds must refresh on re-removal: remove -> re-add ->
     remove again excludes BOTH generations of postings; coalesce folds
