@@ -1073,9 +1073,62 @@ def q_quality_unigram(spark, sf_dir):
     return textstats.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style cross-document line dedup (keep-first, reconstruct). The
+    fixture has no newlines, so both engines deterministically 'line' the
+    docs first — token stream chunked into 2-token lines (the pii_scrub
+    co-injection pattern; 2-token chunks over the small vocabulary
+    guarantee real cross-doc duplicates to remove)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    t = docs.select("doc_id", analysis.tokens("text").alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    n_lines = F.ceil(F.size("_t") / F.lit(2.0)).cast("int")
+    lined = t.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice("_t", i * 2 + 1, 2), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return dedup.line_dedup(lined)
+
+
+def q_quality_gopher(spark, sf_dir):
+    """Gopher quality-rule bundle (word count, mean word length, symbol
+    ratio, alpha-word ratio, stopword hits) — bounds tuned to the
+    fixture's 10-100-token docs so every flag has both outcomes."""
+    return textstats.gopher_quality(
+        _docs(spark, sf_dir),
+        min_words=25, max_words=80,
+        min_avg_len=4.4, max_avg_len=4.65,
+        max_symbol_ratio=0.1, min_alpha_ratio=0.8, min_stop_hits=2,
+    )
+
+
+def q_ann_pq_top5(spark, sf_dir):
+    """Product-quantization ANN, full ADC-then-refine funnel —
+    deterministic first_k codebooks so the DuckDB oracle replays
+    encode → LUT → ADC → top-R candidates → exact rescore → rank
+    end-to-end; the KMeans-trained codebooks' recall is pytest-checked
+    against brute instead (the IVF pattern)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk_pq(emb, queries, k=5, m=8, k_sub=16,
+                                     quantizer="first_k", refine=15)
+
+
 QUERIES = {
     "bm25_top10": q_bm25_top10,
     # new in r5 — front of the line so a row-capped driver run covers them
+    "line_dedup": q_line_dedup,
+    "quality_gopher": q_quality_gopher,
+    "ann_pq_top5": q_ann_pq_top5,
     "decontaminate_ngram": q_decontaminate_ngram,
     "dedup_cross_corpus": q_dedup_cross_corpus,
     "repetition_stats": q_repetition_stats,
@@ -2651,4 +2704,159 @@ s AS (
 )
 SELECT vec_id, max(sim) AS max_sim, CAST(count(*) AS BIGINT) AS n_hits
 FROM s WHERE sim >= 0.30 GROUP BY vec_id
+"""
+
+
+# C4 line dedup: both engines chunk the normalized token stream into
+# 2-token "lines" (positions 0-based), elect the keep-first winner per
+# distinct line via the packed doc_id*2^20+pos key, and reconstruct the
+# surviving text in position order. string_agg skips the NULLed dropped
+# lines; coalesce guards the all-dropped → NULL gotcha.
+ORACLE["line_dedup"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents WHERE doc_id < 300
+),
+nz AS (SELECT * FROM t WHERE len(terms) > 0),
+lines AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, CAST(ceil(len(terms) / 2.0) AS BIGINT) + 1),
+           i -> array_to_string(terms[(i-1)*2+1 : (i-1)*2+2], ' '))) AS line,
+         unnest(range(1, CAST(ceil(len(terms) / 2.0) AS BIGINT) + 1)) AS p1
+  FROM nz
+),
+occ AS (
+  SELECT doc_id, p1 - 1 AS pos, line,
+         doc_id * 1048576 + (p1 - 1) AS k
+  FROM lines
+),
+win AS (SELECT line, min(k) AS wk FROM occ WHERE line <> '' GROUP BY line),
+fl AS (
+  SELECT o.doc_id, o.pos, o.line,
+         (o.line = '' OR o.k = w.wk) AS keep
+  FROM occ o LEFT JOIN win w ON o.line = w.line
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY pos), '') AS text_clean
+FROM fl GROUP BY doc_id
+"""
+
+
+# Gopher rule bundle: every feature recomputed with the same arithmetic
+# (integer length sums, then one double division, round 6) and the flags
+# evaluated on the ROUNDED features, exactly like the Spark side.
+ORACLE["quality_gopher"] = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS rw
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    CAST(len(terms) AS BIGINT) AS n_words,
+    round(CASE WHEN len(terms) > 0
+          THEN CAST(list_sum(list_transform(terms, x -> len(x)))
+                    AS DOUBLE) / len(terms) ELSE 0.0 END, 6) AS avg_word_len,
+    round(CASE WHEN len(terms) > 0
+          THEN (len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+               / len(terms) ELSE 0.0 END, 6) AS symbol_ratio,
+    round(CASE WHEN len(rw) > 0
+          THEN len(list_filter(rw, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0
+               / len(rw) ELSE 0.0 END, 6) AS alpha_ratio,
+    CAST(len(list_filter(list_distinct(terms),
+         x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+         AS BIGINT) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, avg_word_len, symbol_ratio, alpha_ratio, stop_hits,
+  CAST(n_words >= 25 AND n_words <= 80 AS BIGINT) AS flag_word_count,
+  CAST(avg_word_len >= 4.4 AND avg_word_len <= 4.65 AS BIGINT) AS flag_avg_len,
+  CAST(symbol_ratio <= 0.1 AS BIGINT) AS flag_symbol,
+  CAST(alpha_ratio >= 0.8 AS BIGINT) AS flag_alpha,
+  CAST(stop_hits >= 2 AS BIGINT) AS flag_stopwords,
+  CAST(n_words >= 25 AND n_words <= 80
+       AND avg_word_len >= 4.4 AND avg_word_len <= 4.65
+       AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+       AND stop_hits >= 2 AS BIGINT) AS gopher_pass
+FROM f
+"""
+
+
+# PQ/ADC replay: first_k codebooks (sub-vectors of the 16 lowest-id
+# corpus vectors), L2 argmin encode via the dot-product identity (both
+# engines fold left-to-right), broadcast LUT partials, reconstruction
+# norm from codeword norms, round-6 ADC → top-15 candidate cut →
+# exact-cosine rescore of ONLY those candidates → round-6-then-rank.
+ORACLE["ann_pq_top5"] = """
+WITH it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, CAST(t.m AS INTEGER) AS m,
+         v[t.m*8+1 : t.m*8+8] AS sv
+  FROM it CROSS JOIN range(8) t(m)
+),
+cb AS (
+  SELECT vec_id AS cid, m, sv AS cv, list_dot_product(sv, sv) AS cn
+  FROM sub WHERE vec_id < 16
+),
+codes AS (
+  SELECT vec_id, m, cid AS code, cn FROM (
+    SELECT s.vec_id, s.m, c.cid, c.cn,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY list_dot_product(s.sv, s.sv)
+                      - 2.0 * list_dot_product(s.sv, c.cv) + c.cn ASC,
+                      c.cid ASC) AS r
+    FROM sub s JOIN cb c USING (m)
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_dot_product(v, v)) AS nq
+      FROM it WHERE vec_id < 10),
+lut AS (
+  SELECT q.qid, c.m, c.cid,
+         list_dot_product(q.qv[c.m*8+1 : c.m*8+8], c.cv) AS partial
+  FROM q CROSS JOIN cb c
+),
+sc AS (
+  SELECT l.qid, cd.vec_id,
+         sum(l.partial) AS adot, sum(cd.cn) AS recon2
+  FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.cid
+  GROUP BY l.qid, cd.vec_id
+),
+scored AS (
+  SELECT sc.qid, sc.vec_id,
+         round(sc.adot / (q.nq * sqrt(sc.recon2)), 6) AS sim
+  FROM sc JOIN q USING (qid) WHERE sc.vec_id <> sc.qid
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id ASC) AS r
+    FROM scored
+  ) WHERE r <= 15
+),
+ex AS (
+  SELECT c.qid, c.vec_id,
+         round(list_dot_product(iv.v, q.qv)
+               / (sqrt(list_dot_product(iv.v, iv.v)) * q.nq), 6) AS sim
+  FROM cand c
+  JOIN it iv ON c.vec_id = iv.vec_id
+  JOIN q ON c.qid = q.qid
+)
+SELECT qid, vec_id, rank, sim FROM (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM ex
+) WHERE rank <= 5
 """

@@ -632,3 +632,70 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     for s in owned_sigs:
         caching.register(s, "simhash_near_pairs")
     return out
+
+
+#: line position packing base for the keep-first winner key — positions
+#: must stay below this per doc (1M lines/doc; a 100-TB crawl page is
+#: orders of magnitude under it)
+_LINE_KEY_BASE = 1 << 20
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", delim: str = "\n") -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al. 2020
+    §2.2 scaled to line granularity — the RefinedWeb/Dolma exact
+    line-dedup pass): any line whose normalized form occurs more than
+    once in the corpus keeps only its FIRST occurrence (smallest
+    (doc_id, position)); every other occurrence is removed from its
+    document. Lines that normalize to empty (whitespace/punctuation
+    only) never participate and are always kept.
+
+    Returns one row per input doc:
+      (id, n_lines, n_kept, text_clean)   — counts BIGINT, text_clean =
+      surviving lines re-joined with `delim` in original order ('' when
+      nothing survives).
+
+    Plan shape for 10^12 lines: winner election shuffles ONLY
+    (16-byte line hash, packed 8-byte winner key) with map-side combine
+    (groupBy(h).min(key)); line text moves twice — once through the
+    hash-keyed flag join, once into the per-doc reconstruction fold —
+    both on uniform keys (content hash / doc id). No driver state, no
+    windows over the full corpus. The reference consumes pre-cleaned
+    collections (colbert/data/collection.py:14-33); this is the pass
+    that cleans them.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_line"),
+    ).select(
+        id_col, "_pos", "_line",
+        F.array_join(analysis.tokens(F.col("_line")), " ").alias("_norm"),
+        (F.col(id_col) * _LINE_KEY_BASE + F.col("_pos")).alias("_k"),
+    ).withColumn("_h", F.md5(F.encode(F.col("_norm"), "UTF-8")))
+    winners = (
+        lines.filter(F.col("_norm") != "")
+        .groupBy("_h")
+        .agg(F.min("_k").alias("_wk"))
+    )
+    flagged = lines.join(winners, "_h", "left").withColumn(
+        "keep", (F.col("_norm") == "") | (F.col("_k") == F.col("_wk"))
+    )
+    # collect_list skips the NULL produced by when(~keep), so only
+    # surviving lines enter the per-doc fold; sort restores input order
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("_pos"), F.col("_line"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s.getField("_line"),
+                ),
+                delim,
+            ).alias("text_clean"),
+        )
+    )

@@ -236,3 +236,84 @@ def token_counts_bpe(docs: DataFrame, group_col: str, text_col: str = "text"
         F.sum("n_sub").alias("total_subwords"),
         F.round(F.avg("n_sub"), 6).alias("avg_subwords"),
     )
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_avg_len: float = 3.0, max_avg_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_ratio: float = 0.8,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021 §A1.1) as per-doc
+    features + pass flags — the standard pre-training web filter:
+
+      flag_word_count : min_words ≤ n_words ≤ max_words
+      flag_avg_len    : min_avg_len ≤ mean token length ≤ max_avg_len
+      flag_symbol     : (count('#') + count('...')) / n_words ≤ max_symbol_ratio
+      flag_alpha      : fraction of whitespace words containing an
+                        alphabetic char ≥ min_alpha_ratio
+      flag_stopwords  : ≥ min_stop_hits DISTINCT words from the fixed
+                        STOPWORDS list present
+      gopher_pass     : all of the above
+
+    Output: (id, n_words, avg_word_len, symbol_ratio, alpha_ratio,
+    stop_hits, flag_*, gopher_pass) — ratios rounded 6, flags/counts
+    BIGINT-compatible ints. Docs with zero words report 0 ratios and
+    fail flag_word_count.
+
+    Pure whole-stage-codegen expressions (tokenize/regexp_count/filter/
+    aggregate): zero shuffles, zero Python — the filter column costs one
+    corpus scan at any scale, and the oracle SQL replays every rule.
+    Defaults are the paper's; fixture-scale callers pass bounds that
+    match their doc lengths (thresholds are config, not science).
+    """
+    t = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_raw"),
+        analysis.tokens(text_col).alias("_t"),
+    )
+    n_words = F.size("_t").cast("long")
+    nz = n_words > 0
+    avg_len = F.round(
+        F.when(nz, F.aggregate("_t", F.lit(0), lambda a, x: a + F.length(x))
+               .cast("double") / F.size("_t")).otherwise(F.lit(0.0)), 6)
+    n_sym = (F.regexp_count(F.col("_raw"), F.lit(r"#"))
+             + F.regexp_count(F.col("_raw"), F.lit(r"\.\.\."))).cast("long")
+    symbol_ratio = F.round(
+        F.when(nz, n_sym.cast("double") / F.size("_t")).otherwise(F.lit(0.0)), 6)
+    # alpha rule runs on RAW whitespace words (punctuation intact), per the
+    # paper; the tokenizer would have stripped the non-alpha evidence
+    raw_words = F.filter(F.split(F.col("_raw"), r"\s+"), lambda x: x != F.lit(""))
+    n_alpha = F.size(F.filter(raw_words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_ratio = F.round(
+        F.when(F.size(raw_words) > 0,
+               n_alpha.cast("double") / F.size(raw_words))
+        .otherwise(F.lit(0.0)), 6)
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct("_t"), _stop_array())
+    ).cast("long")
+
+    feat = t.select(
+        id_col,
+        n_words.alias("n_words"),
+        avg_len.alias("avg_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    f_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    f_al = ((F.col("avg_word_len") >= min_avg_len)
+            & (F.col("avg_word_len") <= max_avg_len))
+    f_sy = F.col("symbol_ratio") <= max_symbol_ratio
+    f_aw = F.col("alpha_ratio") >= min_alpha_ratio
+    f_st = F.col("stop_hits") >= min_stop_hits
+    return feat.select(
+        "*",
+        f_wc.cast("long").alias("flag_word_count"),
+        f_al.cast("long").alias("flag_avg_len"),
+        f_sy.cast("long").alias("flag_symbol"),
+        f_aw.cast("long").alias("flag_alpha"),
+        f_st.cast("long").alias("flag_stopwords"),
+        (f_wc & f_al & f_sy & f_aw & f_st).cast("long").alias("gopher_pass"),
+    )

@@ -7,7 +7,13 @@ from __future__ import annotations
 import pytest
 import pyspark.sql.functions as F
 
-from colbert_spark.operators import dedup, metrics, multimodal, similarity
+from colbert_spark.operators import (
+    dedup,
+    metrics,
+    multimodal,
+    similarity,
+    textstats,
+)
 
 
 @pytest.fixture(scope="module")
@@ -887,3 +893,119 @@ def test_lsh_banding_kernel_footprint_is_slim():
     slim_probe_b, _ = footprint(False, True)
     fat_probe_b, _ = footprint(True, True)
     assert fat_probe_b / slim_probe_b > 4  # ×(1+n_planes) rows on probes
+
+
+def test_line_dedup_keep_first_and_reconstruction(spark):
+    """Hand-built corpus: the keep-first winner is the smallest
+    (doc_id, pos) occurrence of each NORMALIZED line; empty-normal lines
+    always survive; reconstruction preserves order; an all-dropped doc
+    yields text_clean ''."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta\ncommon line\ngamma"),
+            (1, "common line\ndelta\ncommon line"),
+            (2, "unique stuff\n!!!\nCOMMON, line"),
+            (3, "common line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs).collect()}
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 3
+    assert out[0]["text_clean"] == "alpha beta\ncommon line\ngamma"
+    # doc 1: both its occurrences lose to doc 0's (including the in-doc dup)
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+    assert out[1]["text_clean"] == "delta"
+    # doc 2: '!!!' normalizes empty -> always kept; 'COMMON, line'
+    # normalizes to 'common line' -> dropped despite differing raw text
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 2
+    assert out[2]["text_clean"] == "unique stuff\n!!!"
+    assert out[3]["n_lines"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["text_clean"] == ""
+
+
+def test_gopher_quality_rules_hand_case(spark):
+    """Each rule exercised in both directions against a pure-Python
+    replay of the formulas on the shared tokenizer."""
+    rows = [
+        (0, "the cat and a dog ran to the park in morning light today ok"),
+        (1, "### 404 505 ... 606 ### 707 ... 808 909 111 222 333 444"),
+        (2, "the a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.gopher_quality(
+            docs, min_words=5, max_words=20, min_avg_len=2.0,
+            max_avg_len=4.0, max_symbol_ratio=0.1, min_alpha_ratio=0.8,
+            min_stop_hits=2,
+        ).collect()
+    }
+    from colbert_spark.functions.analysis import python_tokenize
+
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    for doc_id, text in rows:
+        t = python_tokenize(text)
+        raw = [w for w in text.split() if w]
+        exp_n = len(t)
+        exp_avg = round(sum(len(x) for x in t) / exp_n, 6)
+        exp_sym = round((text.count("#") + text.count("...")) / exp_n, 6)
+        exp_alpha = round(
+            sum(1 for w in raw if any(c.isalpha() for c in w)) / len(raw), 6)
+        exp_stop = len(set(t) & stop)
+        r = out[doc_id]
+        assert r["n_words"] == exp_n
+        assert r["avg_word_len"] == pytest.approx(exp_avg, abs=1e-9)
+        assert r["symbol_ratio"] == pytest.approx(exp_sym, abs=1e-9)
+        assert r["alpha_ratio"] == pytest.approx(exp_alpha, abs=1e-9)
+        assert r["stop_hits"] == exp_stop
+        assert r["gopher_pass"] == int(
+            5 <= exp_n <= 20 and 2.0 <= exp_avg <= 4.0 and exp_sym <= 0.1
+            and exp_alpha >= 0.8 and exp_stop >= 2
+        )
+    # direction checks: 0 passes everything, 1 fails symbol+alpha+stop,
+    # 2 fails word count
+    assert out[0]["gopher_pass"] == 1
+    assert out[1]["flag_symbol"] == 0 and out[1]["flag_alpha"] == 0
+    assert out[1]["flag_stopwords"] == 0
+    assert out[2]["flag_word_count"] == 0 and out[2]["gopher_pass"] == 0
+
+
+def test_pq_kmeans_recall_vs_brute(spark):
+    """Trained-codebook PQ (per-subspace KMeans) vs exact brute cosine on
+    the fixture embeddings. Pure ADC ordering on near-orthogonal random
+    vectors is noisy (quantization error ≈ signal) — it only needs to
+    beat chance by a wide margin; the production path is ADC-as-
+    candidate-generator + exact refine, which must recover most of the
+    true top-5 while touching only R·Q raw vectors."""
+    from colbert_spark.operators.similarity import (
+        cosine_topk_brute, cosine_topk_pq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_items = emb.count()
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        rs = [
+            len(brute_sets[q] & got.get(q, set())) / len(brute_sets[q])
+            for q in brute_sets
+        ]
+        return sum(rs) / len(rs)
+
+    brute_sets = {}
+    for r in cosine_topk_brute(emb, queries, k=5).collect():
+        brute_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    adc = recall(cosine_topk_pq(emb, queries, k=5, m=8, k_sub=16,
+                                quantizer="kmeans"))
+    # chance recall@5 is 5/(n-1); ADC must beat it by >10x
+    assert adc > 10 * 5.0 / (n_items - 1)
+    refined = recall(cosine_topk_pq(emb, queries, k=5, m=8, k_sub=16,
+                                    quantizer="kmeans", refine=50))
+    assert refined >= 0.6
+    assert refined > adc
