@@ -1123,12 +1123,27 @@ def q_ann_pq_top5(spark, sf_dir):
                                      quantizer="first_k", refine=15)
 
 
+def q_ann_ivfpq_top5(spark, sf_dir):
+    """IVFADC: coarse cell probe → ADC over only the probed cells' codes
+    → exact refine of the top 15 — every stage deterministic (first_k
+    coarse + subspace codebooks) so the oracle replays the whole funnel."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk_ivfpq(
+        emb, queries, k=5, n_clusters=16, n_probe=6, m=8, k_sub=16,
+        quantizer="first_k", refine=15,
+    )
+
+
 QUERIES = {
     "bm25_top10": q_bm25_top10,
     # new in r5 — front of the line so a row-capped driver run covers them
     "line_dedup": q_line_dedup,
     "quality_gopher": q_quality_gopher,
     "ann_pq_top5": q_ann_pq_top5,
+    "ann_ivfpq_top5": q_ann_ivfpq_top5,
     "decontaminate_ngram": q_decontaminate_ngram,
     "dedup_cross_corpus": q_dedup_cross_corpus,
     "repetition_stats": q_repetition_stats,
@@ -2850,6 +2865,105 @@ ex AS (
          round(list_dot_product(iv.v, q.qv)
                / (sqrt(list_dot_product(iv.v, iv.v)) * q.nq), 6) AS sim
   FROM cand c
+  JOIN it iv ON c.vec_id = iv.vec_id
+  JOIN q ON c.qid = q.qid
+)
+SELECT qid, vec_id, rank, sim FROM (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM ex
+) WHERE rank <= 5
+"""
+
+
+# IVFADC replay: coarse cells (16 lowest-id vectors, argmax-cosine
+# assignment, tie → lowest cell — the ann_ivf_top5 rule) → 6 probed
+# cells per query → PQ encode/LUT (the ann_pq_top5 machinery) scoring
+# ONLY the probed candidates → top-15 cut → exact rescore → top-5.
+ORACLE["ann_ivfpq_top5"] = """
+WITH it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM it WHERE vec_id < 16),
+asn AS (
+  SELECT vec_id, cell FROM (
+    SELECT it.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY it.vec_id
+             ORDER BY list_dot_product(it.v, cent.cv)
+                      / (sqrt(list_dot_product(it.v, it.v))
+                         * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.cell ASC) AS r
+    FROM it CROSS JOIN cent
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_dot_product(v, v)) AS nq
+      FROM it WHERE vec_id < 10),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, cent.cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, cent.cv)
+                      / (q.nq * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.cell ASC) AS r
+    FROM q CROSS JOIN cent
+  ) WHERE r <= 6
+),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM asn a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid
+),
+sub AS (
+  SELECT vec_id, CAST(t.m AS INTEGER) AS m,
+         v[t.m*8+1 : t.m*8+8] AS sv
+  FROM it CROSS JOIN range(8) t(m)
+),
+cb AS (
+  SELECT vec_id AS cid, m, sv AS cv, list_dot_product(sv, sv) AS cn
+  FROM sub WHERE vec_id < 16
+),
+codes AS (
+  SELECT vec_id, m, cid AS code, cn FROM (
+    SELECT s.vec_id, s.m, c.cid, c.cn,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY list_dot_product(s.sv, s.sv)
+                      - 2.0 * list_dot_product(s.sv, c.cv) + c.cn ASC,
+                      c.cid ASC) AS r
+    FROM sub s JOIN cb c USING (m)
+  ) WHERE r = 1
+),
+lut AS (
+  SELECT q.qid, c.m, c.cid,
+         list_dot_product(q.qv[c.m*8+1 : c.m*8+8], c.cv) AS partial
+  FROM q CROSS JOIN cb c
+),
+sc AS (
+  SELECT cn.qid, cd.vec_id,
+         sum(l.partial) AS adot, sum(cd.cn) AS recon2
+  FROM cand cn
+  JOIN codes cd ON cn.vec_id = cd.vec_id
+  JOIN lut l ON l.qid = cn.qid AND l.m = cd.m AND l.cid = cd.code
+  GROUP BY cn.qid, cd.vec_id
+),
+scored AS (
+  SELECT sc.qid, sc.vec_id,
+         round(sc.adot / (q.nq * sqrt(sc.recon2)), 6) AS sim
+  FROM sc JOIN q USING (qid)
+),
+candr AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id ASC) AS r
+    FROM scored
+  ) WHERE r <= 15
+),
+ex AS (
+  SELECT c.qid, c.vec_id,
+         round(list_dot_product(iv.v, q.qv)
+               / (sqrt(list_dot_product(iv.v, iv.v)) * q.nq), 6) AS sim
+  FROM candr c
   JOIN it iv ON c.vec_id = iv.vec_id
   JOIN q ON c.qid = q.qid
 )

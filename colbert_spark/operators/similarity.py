@@ -486,6 +486,83 @@ def _fold_dot(xs, ys) -> float:
     return s
 
 
+def _subslices(col, m: int, sub: int):
+    """Split an array<double> column into its m contiguous sub-vectors."""
+    return F.array(*[F.slice(col, mi * sub + 1, sub) for mi in range(m)])
+
+
+def _pq_codebook(spark, base: DataFrame, m: int, sub: int, k_sub: int,
+                 quantizer: str, seed: int) -> DataFrame:
+    """Per-subspace PQ codebook table (m, cid, cv, cn=⟨cv,cv⟩).
+
+    first_k: codewords are the sub-vectors of the k_sub lowest-id corpus
+    vectors (fully deterministic → DuckDB-replayable). kmeans: one
+    pyspark.ml KMeans per subspace (the quality path)."""
+    if quantizer == "first_k":
+        cent_rows = base.orderBy("vec_id").limit(k_sub).collect()
+        cb_rows = [
+            (mi, int(r["vec_id"]),
+             [float(x) for x in r["v"][mi * sub:(mi + 1) * sub]])
+            for r in cent_rows for mi in range(m)
+        ]
+    elif quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        cb_rows = []
+        svs = base.select(
+            F.posexplode(_subslices(F.col("v"), m, sub)).alias("m", "sv")
+        )
+        for mi in range(m):
+            ml_df = svs.filter(F.col("m") == mi).select(
+                array_to_vector("sv").alias("features")
+            )
+            model = KMeans(k=k_sub, seed=seed + mi,
+                           featuresCol="features").fit(ml_df)
+            for cid, c in enumerate(model.clusterCenters()):
+                cb_rows.append((mi, cid, [float(x) for x in c]))
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    return spark.createDataFrame(
+        [(mi, cid, cv, _fold_dot(cv, cv)) for mi, cid, cv in cb_rows],
+        "m int, cid int, cv array<double>, cn double",
+    )
+
+
+def _pq_encode(base: DataFrame, cb: DataFrame, m: int, sub: int) -> DataFrame:
+    """Encode every vector: (vec_id, m, code, cn) — argmin_cid ‖sv−cv‖²
+    per (vec_id, subspace) via the dot-product identity (both engines
+    fold identically); min(struct) gives map-side combine with the
+    (dist, cid) tiebreak."""
+    sv = base.select(
+        "vec_id", F.posexplode(_subslices(F.col("v"), m, sub)).alias("m", "sv")
+    )
+    dist = (_dot(F.col("sv"), F.col("sv"))
+            - F.lit(2.0) * _dot(F.col("sv"), F.col("cv")) + F.col("cn"))
+    return (
+        sv.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", F.struct(
+            dist.alias("d"), F.col("cid").alias("cid"), F.col("cn").alias("cn")
+        ).alias("_w"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("_w").alias("w"))
+        .select("vec_id", "m", F.col("w.cid").alias("code"),
+                F.col("w.cn").alias("cn"))
+    )
+
+
+def _pq_lut(q: DataFrame, cb: DataFrame, m: int, sub: int) -> DataFrame:
+    """Per-query ADC lookup table (qid, m, cid, partial=⟨q_sub, cv⟩) —
+    Q·m·k_sub rows, tiny by contract, meant to be broadcast."""
+    return (
+        q.select("qid",
+                 F.posexplode(_subslices(F.col("qv"), m, sub)).alias("m", "qsv"))
+        .join(F.broadcast(cb), "m")
+        .select("qid", "m", "cid",
+                _dot(F.col("qsv"), F.col("cv")).alias("partial"))
+    )
+
+
 def cosine_topk_pq(
     items: DataFrame,
     queries: DataFrame,
@@ -552,68 +629,14 @@ def cosine_topk_pq(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
 
-    def _slices(col):
-        return F.array(*[F.slice(col, mi * sub + 1, sub) for mi in range(m)])
-
-    if quantizer == "first_k":
-        cent_rows = base.orderBy("vec_id").limit(k_sub).collect()
-        cb_rows = [
-            (mi, int(r["vec_id"]),
-             [float(x) for x in r["v"][mi * sub:(mi + 1) * sub]])
-            for r in cent_rows for mi in range(m)
-        ]
-    elif quantizer == "kmeans":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        cb_rows = []
-        svs = base.select(
-            F.posexplode(_slices(F.col("v"))).alias("m", "sv")
-        )
-        for mi in range(m):
-            ml_df = svs.filter(F.col("m") == mi).select(
-                array_to_vector("sv").alias("features")
-            )
-            model = KMeans(k=k_sub, seed=seed + mi,
-                           featuresCol="features").fit(ml_df)
-            for cid, c in enumerate(model.clusterCenters()):
-                cb_rows.append((mi, cid, [float(x) for x in c]))
-    else:
-        raise ValueError(f"unknown quantizer {quantizer!r}")
-
-    cb = spark.createDataFrame(
-        [(mi, cid, cv, _fold_dot(cv, cv)) for mi, cid, cv in cb_rows],
-        "m int, cid int, cv array<double>, cn double",
-    )
-
-    # encode: argmin_cid ‖sv − cv‖² per (vec_id, subspace); the distance
-    # uses the dot-product identity so both engines fold identically, and
-    # min(struct) gives map-side combine with the (dist, cid) tiebreak
-    sv = base.select(
-        "vec_id", F.posexplode(_slices(F.col("v"))).alias("m", "sv")
-    )
-    dist = (_dot(F.col("sv"), F.col("sv"))
-            - F.lit(2.0) * _dot(F.col("sv"), F.col("cv")) + F.col("cn"))
-    codes = (
-        sv.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", F.struct(
-            dist.alias("d"), F.col("cid").alias("cid"), F.col("cn").alias("cn")
-        ).alias("_w"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("_w").alias("w"))
-        .select("vec_id", "m", F.col("w.cid").alias("code"),
-                F.col("w.cn").alias("cn"))
-    )
+    cb = _pq_codebook(spark, base, m, sub, k_sub, quantizer, seed)
+    codes = _pq_encode(base, cb, m, sub)
 
     q = queries.select(
         F.col(qid_col).alias("qid"),
         F.col(qvec_col).cast("array<double>").alias("qv"),
     ).withColumn("nq", _norm(F.col("qv")))
-    lut = (
-        q.select("qid", F.posexplode(_slices(F.col("qv"))).alias("m", "qsv"))
-        .join(F.broadcast(cb), "m")
-        .select("qid", "m", "cid", _dot(F.col("qsv"), F.col("cv")).alias("partial"))
-    )
+    lut = _pq_lut(q, cb, m, sub)
     sc = (
         codes.join(F.broadcast(lut),
                    (codes["m"] == lut["m"]) & (codes["code"] == lut["cid"]))
@@ -649,6 +672,174 @@ def cosine_topk_pq(
     )
     exact = (
         cand.join(base, "vec_id")
+        .join(F.broadcast(q.select("qid", "qv", "nq")), "qid")
+        .select(
+            "qid", "vec_id",
+            F.round(
+                _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("nq")),
+                SIM_DECIMALS,
+            ).alias("sim"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.col("rank").cast("long").alias("rank"), "sim")
+    )
+
+
+def cosine_topk_ivfpq(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    quantizer: str = "first_k",
+    seed: int = 42,
+    refine: int = 0,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §V): the full production ANN funnel —
+    coarse quantizer prunes the corpus to n_probe cells per query, ADC
+    scores ONLY the surviving candidates from their 8-byte PQ codes via
+    a broadcast lookup table, and refine=R optionally exact-rescores the
+    top-R. Returns (qid, vec_id, rank, sim).
+
+    This is the composition the reference's retrieval engine runs as one
+    funnel: centroid probe (colbert/search/candidate_generation.py:45-64)
+    → residual-codec approximate scoring (colbert/search/index_storage.
+    py:69-116 score_pids) → exact rerank of survivors. Here each stage is
+    a DataFrame op: broadcast-centroid probe join, candidate×code join
+    against the broadcast LUT, id-keyed re-attach for the exact stage.
+
+    Cost model at 100 TB: the per-query scan is |corpus|·(n_probe/
+    n_clusters) code rows (8 B each) instead of |corpus| raw vectors
+    (512 B each) — a ~(n_clusters/n_probe)·64× read reduction — and no
+    stage shuffles anything wider than (qid, vec_id, two doubles).
+    Encode/assignment are fused here for oracle-checkability; production
+    persists (vec_id, cell, codes) once as the index.
+
+    quantizer="first_k" keeps every stage deterministic (coarse
+    centroids = n_clusters lowest-id vectors, argmax-cosine assignment,
+    tie → lowest cell — identical to cosine_topk_ivf's rule) so the
+    DuckDB oracle replays the whole funnel; "kmeans" trains both the
+    coarse and subspace codebooks (recall pytest-checked vs brute).
+    """
+    spark = items.sparkSession
+    base = items.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    dim = len(base.select("v").first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+
+    # coarse quantizer → slim (vec_id, cell) assignment + centroid table
+    if quantizer == "first_k":
+        cent_rows = base.orderBy("vec_id").limit(n_clusters).collect()
+        cent_df = spark.createDataFrame(
+            [(int(r["vec_id"]), list(r["v"])) for r in cent_rows],
+            "cell int, cv array<double>",
+        )
+        ic = base.join(F.broadcast(cent_df)).select(
+            "vec_id", "cell",
+            (_dot(F.col("v"), F.col("cv"))
+             / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("csim"),
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+        assigned = (
+            ic.withColumn("r", F.row_number().over(wa)).filter(F.col("r") == 1)
+            .select("vec_id", "cell")
+        )
+    elif quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        ml_items = base.withColumn("features", array_to_vector("v"))
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(
+            ml_items
+        )
+        assigned = model.transform(ml_items).select(
+            "vec_id", F.col("prediction").alias("cell")
+        )
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c])
+             for i, c in enumerate(model.clusterCenters())],
+            "cell int, cv array<double>",
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+
+    cb = _pq_codebook(spark, base, m, sub, k_sub, quantizer, seed)
+    codes = _pq_encode(base, cb, m, sub)
+
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<double>").alias("qv"),
+    ).withColumn("nq", _norm(F.col("qv")))
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        "qid", "cell",
+        (_dot(F.col("qv"), F.col("cv"))
+         / (F.col("nq") * _norm(F.col("cv")))).alias("csim"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cell"))
+    probes = (
+        qc.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= n_probe)
+        .select("qid", "cell")
+    )
+
+    # candidates: members of probed cells, self excluded — (qid, vec_id)
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+
+    # ADC over candidates only: (qid, vec_id, m, code) ⋈ broadcast LUT
+    lut = _pq_lut(q, cb, m, sub)
+    cc = cand.join(codes, "vec_id")
+    sc = (
+        cc.join(
+            F.broadcast(lut),
+            (cc["qid"] == lut["qid"]) & (cc["m"] == lut["m"])
+            & (cc["code"] == lut["cid"]),
+        )
+        .select(cc["qid"].alias("qid"), "vec_id", "partial", "cn")
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("partial").alias("adot"), F.sum("cn").alias("recon2"))
+    )
+    scored = (
+        sc.join(F.broadcast(q.select("qid", "nq")), "qid")
+        .select(
+            "qid", "vec_id",
+            F.round(F.col("adot") / (F.col("nq") * F.sqrt(F.col("recon2"))),
+                    SIM_DECIMALS).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    if refine <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vec_id",
+                    F.col("rank").cast("long").alias("rank"), "sim")
+        )
+    if refine < k:
+        raise ValueError(f"refine {refine} must be >= k {k}")
+    cand_r = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= refine)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        cand_r.join(base, "vec_id")
         .join(F.broadcast(q.select("qid", "qv", "nq")), "qid")
         .select(
             "qid", "vec_id",

@@ -1009,3 +1009,55 @@ def test_pq_kmeans_recall_vs_brute(spark):
                                     quantizer="kmeans", refine=50))
     assert refined >= 0.6
     assert refined > adc
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """Probing every coarse cell makes the IVFADC candidate set the whole
+    corpus, so the funnel must reduce exactly to flat PQ with the same
+    codebooks and refine depth — same rows, same sims, same ranks."""
+    from colbert_spark.operators.similarity import (
+        cosine_topk_ivfpq, cosine_topk_pq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pq = sorted(
+        tuple(r) for r in cosine_topk_pq(
+            emb, queries, k=5, m=8, k_sub=16, quantizer="first_k", refine=20
+        ).collect()
+    )
+    ivfpq = sorted(
+        tuple(r) for r in cosine_topk_ivfpq(
+            emb, queries, k=5, n_clusters=16, n_probe=16, m=8, k_sub=16,
+            quantizer="first_k", refine=20
+        ).collect()
+    )
+    assert pq == ivfpq
+
+
+def test_ivfpq_kmeans_recall_vs_brute(spark):
+    """Trained coarse + subspace codebooks with refine: the production
+    IVFADC path keeps useful recall vs brute while scanning only
+    n_probe/n_clusters of the code table."""
+    from colbert_spark.operators.similarity import (
+        cosine_topk_brute, cosine_topk_ivfpq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    brute_sets, got = {}, {}
+    for r in cosine_topk_brute(emb, queries, k=5).collect():
+        brute_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    out = cosine_topk_ivfpq(emb, queries, k=5, n_clusters=16, n_probe=8,
+                            m=8, k_sub=16, quantizer="kmeans", refine=50)
+    for r in out.collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(brute_sets[q] & got.get(q, set())) / len(brute_sets[q])
+        for q in brute_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.35
