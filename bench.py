@@ -124,6 +124,15 @@ def main() -> None:
           lambda: entry_queries.q_shared_ngram_stats(spark, sf_dir).count())
     timed("quality_unigram",
           lambda: entry_queries.q_quality_unigram(spark, sf_dir).count())
+    # r5b: cross-document line dedup over the FULL corpus (winner
+    # election shuffles only 16-byte line hash + packed winner key), and
+    # the IVFADC funnel (coarse probe → ADC over 8-byte codes → exact
+    # refine of top-15) over the sf embeddings
+    timed("line_dedup_full",
+          lambda: dedup.line_dedup(
+              entry_queries.lined_docs(all_docs)).count())
+    timed("ann_ivfpq",
+          lambda: entry_queries.q_ann_ivfpq_top5(spark, sf_dir).count())
 
     # new in r2: rerank-over-candidates through the allow-list scatter path
     allow = searcher.search_all(queries, k=20).df.select("qid", "pid")

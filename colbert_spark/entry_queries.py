@@ -1073,18 +1073,17 @@ def q_quality_unigram(spark, sf_dir):
     return textstats.unigram_logprob(_docs(spark, sf_dir))
 
 
-def q_line_dedup(spark, sf_dir):
-    """C4-style cross-document line dedup (keep-first, reconstruct). The
-    fixture has no newlines, so both engines deterministically 'line' the
-    docs first — token stream chunked into 2-token lines (the pii_scrub
-    co-injection pattern; 2-token chunks over the small vocabulary
-    guarantee real cross-doc duplicates to remove)."""
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+def lined_docs(docs):
+    """Deterministically 'line' a no-newline corpus: token stream chunked
+    into 2-token lines (the pii_scrub co-injection pattern; 2-token
+    chunks over the small fixture vocabulary guarantee real cross-doc
+    duplicates for line_dedup to remove). Shared by the oracle entry and
+    the bench probe."""
     t = docs.select("doc_id", analysis.tokens("text").alias("_t")).filter(
         F.size("_t") > 0
     )
     n_lines = F.ceil(F.size("_t") / F.lit(2.0)).cast("int")
-    lined = t.select(
+    return t.select(
         "doc_id",
         F.array_join(
             F.transform(
@@ -1094,7 +1093,13 @@ def q_line_dedup(spark, sf_dir):
             "\n",
         ).alias("text"),
     )
-    return dedup.line_dedup(lined)
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style cross-document line dedup (keep-first, reconstruct) over
+    the deterministically lined fixture docs."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return dedup.line_dedup(lined_docs(docs))
 
 
 def q_quality_gopher(spark, sf_dir):
@@ -1137,6 +1142,40 @@ def q_ann_ivfpq_top5(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf_top10(spark, sf_dir):
+    """Hybrid retrieval: more-like-this queries (docs 0-9 as both text
+    query and query vector — vec_id aligns with doc_id in the fixture)
+    through BM25 AND brute cosine, fused with reciprocal rank fusion
+    (k=60, the Cormack et al. default)."""
+    from colbert_spark.operators import fusion
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    tq = _docs(spark, sf_dir).filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    lex = brute.bm25_topk(docs, tq, k=10).select("qid", "pid", "rank")
+    emb = _t(spark, sf_dir, "embeddings")
+    vq = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    vec = similarity.cosine_topk_brute(emb, vq, k=10).select(
+        "qid", F.col("vec_id").alias("pid"), "rank"
+    )
+    return fusion.rrf_fuse([lex, vec], k_rrf=60, topk=10)
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """MOSS winnowing fingerprints (4-token shingles, window 5) over the
+    documents table."""
+    return textstats.winnow_fingerprints(_docs(spark, sf_dir), n=4, w=5)
+
+
+def q_quality_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail terciles on the corpus-own unigram
+    cross-entropy."""
+    return textstats.perplexity_buckets(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "bm25_top10": q_bm25_top10,
     # new in r5 — front of the line so a row-capped driver run covers them
@@ -1144,6 +1183,9 @@ QUERIES = {
     "quality_gopher": q_quality_gopher,
     "ann_pq_top5": q_ann_pq_top5,
     "ann_ivfpq_top5": q_ann_ivfpq_top5,
+    "hybrid_rrf_top10": q_hybrid_rrf_top10,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "quality_ccnet_buckets": q_quality_ccnet_buckets,
     "decontaminate_ngram": q_decontaminate_ngram,
     "dedup_cross_corpus": q_dedup_cross_corpus,
     "repetition_stats": q_repetition_stats,
@@ -2973,4 +3015,152 @@ SELECT qid, vec_id, rank, sim FROM (
                             ORDER BY sim DESC, vec_id ASC) AS rank
   FROM ex
 ) WHERE rank <= 5
+"""
+
+
+# Hybrid RRF: docs 0-9 as more-like-this queries through BOTH engines'
+# full funnels — BM25 (round-6-then-rank, (-score, pid)) and brute
+# cosine (self excluded) — then reciprocal-rank fusion 1/(60+rank),
+# round 6, re-rank. IEEE addition is commutative, so the two-term RRF
+# sums match bit-for-bit across engines.
+ORACLE["hybrid_rrf_top10"] = f"""
+WITH
+d AS (SELECT doc_id AS pid, {_sql_tokens('text', 220)} AS terms FROM documents),
+dl AS (SELECT pid, len(terms) AS doclen FROM d),
+tok AS (SELECT pid, unnest(terms) AS term FROM d),
+tf AS (SELECT pid, term, count(*) AS tf FROM tok GROUP BY pid, term),
+stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id < 10),
+qt AS (SELECT DISTINCT qid, unnest({_sql_tokens('text', 32)}) AS term FROM q),
+scored AS (
+  SELECT qt.qid, tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM qt
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY qt.qid, tf.pid
+),
+lex AS (
+  SELECT qid, pid, rank FROM (
+    SELECT qid, pid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, pid) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT vec_id AS qid, v AS qvec, sqrt(list_dot_product(v, v)) AS nq
+       FROM it WHERE vec_id < 10),
+vs AS (
+  SELECT qv.qid, it.vec_id AS pid,
+         round(list_dot_product(it.v, qv.qvec)
+               / (sqrt(list_dot_product(it.v, it.v)) * qv.nq), 6) AS sim
+  FROM it CROSS JOIN qv WHERE it.vec_id <> qv.qid
+),
+vec AS (
+  SELECT qid, pid, rank FROM (
+    SELECT qid, pid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, pid) AS rank
+    FROM vs
+  ) WHERE rank <= 10
+),
+uni AS (
+  SELECT qid, pid, 1.0 / (60.0 + rank) AS c FROM lex
+  UNION ALL
+  SELECT qid, pid, 1.0 / (60.0 + rank) AS c FROM vec
+),
+fused AS (
+  SELECT qid, pid, round(sum(c), 6) AS rrf_score
+  FROM uni GROUP BY qid, pid
+)
+SELECT qid, pid, rank, rrf_score FROM (
+  SELECT qid, pid, rrf_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf_score DESC, pid) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+
+# Winnowing replay: 4-token shingles → md5 hex hashes (lowercase in both
+# engines, compared lexicographically) → window-of-5 minima → distinct,
+# sorted, re-hashed. coalesce guards the empty-list array_to_string NULL.
+ORACLE["winnow_fingerprint"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(terms) >= 4
+              THEN list_transform(range(1, len(terms) - 2),
+                   i -> array_to_string(terms[i : i + 3], ' '))
+              ELSE [] END AS grams
+  FROM t
+),
+h AS (
+  SELECT doc_id, len(grams) AS n_grams,
+         list_transform(grams, x -> md5(x)) AS hs
+  FROM g
+),
+s AS (
+  SELECT doc_id, n_grams,
+         CASE WHEN n_grams >= 5 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, n_grams - 3),
+             i -> list_min(hs[i : i + 4]))))
+         WHEN n_grams > 0 THEN [list_min(hs)]
+         ELSE [] END AS sel
+  FROM h
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(sel) AS BIGINT) AS n_selected,
+       md5(coalesce(array_to_string(sel, ' '), '')) AS winnow_fp
+FROM s
+"""
+
+
+# CCNet terciles: the quality_unigram score query, thresholded at the
+# round-6 1/3 and 2/3 interpolated percentiles (quantile_cont and
+# Spark's percentile share the (n-1)-position linear-interpolation
+# definition, evaluated over the identical round-6 score column).
+ORACLE["quality_ccnet_buckets"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS terms
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(terms) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf) AS total_cf FROM cf),
+sc AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS doclen,
+         round(sum(tf * -log2(cf * 1.0 / total_cf)) / sum(tf), 6)
+           AS bits_per_token
+  FROM tf JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+),
+th AS (
+  SELECT round(quantile_cont(bits_per_token, 1.0 / 3.0), 6) AS t1,
+         round(quantile_cont(bits_per_token, 2.0 / 3.0), 6) AS t2
+  FROM sc
+)
+SELECT doc_id, doclen, bits_per_token,
+       CASE WHEN bits_per_token <= t1 THEN 'head'
+            WHEN bits_per_token <= t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM sc CROSS JOIN th
 """

@@ -1,0 +1,67 @@
+"""Rank fusion — combining retrieval systems' rankings.
+
+Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009): the
+standard way to merge a lexical ranking with a vector ranking (hybrid
+search) or any set of rankers, using only ranks — no score calibration
+across systems needed. The reference exposes single-ranker retrieval
+(colbert/searcher.py:77-104) and offline ranked-list merge
+(colbert/utility/rankings/merge.py); RRF is the online counterpart a
+hybrid deployment puts in front of both.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+#: the RRF dampening constant from the paper; 60 is the published default
+DEFAULT_K_RRF = 60
+
+RRF_DECIMALS = 6
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = DEFAULT_K_RRF,
+    topk: int = 10,
+    qid_col: str = "qid",
+    pid_col: str = "pid",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fuse rankings (qid, pid, rank) → (qid, pid, rank, rrf_score).
+
+    rrf_score(q, p) = Σ_systems 1 / (k_rrf + rank_s(q, p)) over the
+    systems that returned p for q; rounded 6 BEFORE the final rank
+    window (the repo-wide cross-engine rule), tiebreak (-score, pid).
+
+    Plan shape at scale: unionByName of the input rankings (no shuffle —
+    each input is already a per-query top-k, so the union is K·Q·S rows,
+    tiny relative to any corpus) → ONE groupBy(qid, pid) with map-side
+    combine → per-qid rank window over ≤ K·S rows per query. Nothing
+    here ever touches the corpus; cost scales with the fused lists, not
+    the data.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = [
+        r.select(
+            F.col(qid_col).alias("qid"),
+            F.col(pid_col).alias("pid"),
+            (F.lit(1.0) / (F.lit(float(k_rrf))
+                           + F.col(rank_col).cast("double"))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), contribs)
+    agg = u.groupBy("qid", "pid").agg(
+        F.round(F.sum("_c"), RRF_DECIMALS).alias("rrf_score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("pid"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "pid", F.col("rank").cast("long").alias("rank"),
+                "rrf_score")
+    )

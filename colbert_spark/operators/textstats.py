@@ -317,3 +317,98 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
         f_st.cast("long").alias("flag_stopwords"),
         (f_wc & f_al & f_sy & f_aw & f_st).cast("long").alias("gopher_pass"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        n: int = 4, w: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every n-token shingle, slide
+    a window of w consecutive hashes, keep each window's minimum; the
+    distinct selected hashes are the document's fingerprint set. The
+    guarantee: any shared run of ≥ w + n − 1 tokens between two
+    documents yields at least one shared selected hash, with only
+    ~2/(w+1) of all shingles retained — the span-level dedup/plagiarism
+    sampling rule that per-doc MinHash (whole-doc similarity) does not
+    give.
+
+    Output: (id, n_grams, n_selected, winnow_fp) — counts BIGINT,
+    winnow_fp = md5 of the space-joined sorted selected hashes (md5('')
+    for docs with no shingle). Docs shorter than one window keep their
+    single global-min hash (the at-least-one guarantee).
+
+    Pure per-document array expressions (whole-stage codegen): zero
+    shuffles, zero Python — the selection is a transform over the
+    in-row hash array. Hashes are md5 hex strings compared
+    lexicographically so the DuckDB oracle replays the selection
+    bit-for-bit (both engines emit lowercase hex).
+    """
+    t = docs.select(
+        F.col(id_col), analysis.tokens(text_col).alias("_t")
+    )
+    n_sh = F.greatest(F.size("_t") - F.lit(n - 1), F.lit(0))
+    grams = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.array_join(F.slice("_t", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select(id_col, grams.alias("_g"))
+    hashes = F.transform(F.col("_g"),
+                         lambda x: F.md5(F.encode(x, "UTF-8")))
+    h = g.select(id_col, F.size("_g").cast("long").alias("n_grams"),
+                 hashes.alias("_h"))
+    n_win = F.col("n_grams") - F.lit(w - 1)
+    selected = (
+        F.when(n_win >= 1, F.array_sort(F.array_distinct(F.transform(
+            F.sequence(F.lit(0), (n_win - 1).cast("int")),
+            lambda i: F.array_min(F.slice("_h", i + 1, w)),
+        ))))
+        .when(F.col("n_grams") > 0, F.array(F.array_min("_h")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    s = h.select(id_col, "n_grams", selected.alias("_s"))
+    return s.select(
+        id_col, "n_grams",
+        F.size("_s").cast("long").alias("n_selected"),
+        F.md5(F.encode(F.array_join(F.col("_s"), " "), "UTF-8"))
+        .alias("winnow_fp"),
+    )
+
+
+def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """CCNet-style quality terciles (Wenzek et al. 2020 §4.3): score
+    every doc with the corpus-own unigram cross-entropy
+    (unigram_logprob) and bucket into head / middle / tail at the exact
+    1/3 and 2/3 interpolated percentiles of bits_per_token — head =
+    most-fluent third (what CCNet keeps first), tail = noisiest.
+
+    Output: (id, doclen, bits_per_token, ppl_bucket).
+
+    Plan shape: the per-doc score table (id-keyed aggs, see
+    unigram_logprob) → ONE 1-row threshold aggregate → broadcast
+    crossJoin compare. Deliberately NOT an ntile window: a global
+    ORDER BY window funnels the whole corpus through one task; the
+    two-phase threshold pattern (the domain_mix_budget shape) keeps
+    every stage distributed. At 10^10+ docs swap the exact percentile
+    for approx_percentile — the bucketing join is unchanged.
+
+    Thresholds round 6 (like every repo ratio) so the DuckDB replay
+    (quantile_cont — same (n−1)-position linear interpolation) lands on
+    identical cut points over the identical round-6 score column.
+    """
+    scores = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    th = scores.agg(
+        F.round(F.percentile("bits_per_token", F.lit(1.0 / 3.0)), 6)
+        .alias("_t1"),
+        F.round(F.percentile("bits_per_token", F.lit(2.0 / 3.0)), 6)
+        .alias("_t2"),
+    )
+    return scores.crossJoin(F.broadcast(th)).select(
+        id_col, "doclen", "bits_per_token",
+        F.when(F.col("bits_per_token") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("bits_per_token") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("ppl_bucket"),
+    )

@@ -1061,3 +1061,89 @@ def test_ivfpq_kmeans_recall_vs_brute(spark):
         for q in brute_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.35
+
+
+def test_rrf_fuse_hand_case(spark):
+    """Hand-computed RRF: overlapping pid fuses both contributions, a
+    single-system pid gets one; ranks re-window on the fused score."""
+    from colbert_spark.operators.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "qid long, pid long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "qid long, pid long, rank long"
+    )
+    out = {r["pid"]: r for r in rrf_fuse([a, b], k_rrf=60, topk=10).collect()}
+    assert out[11]["rrf_score"] == pytest.approx(
+        round(1 / 62 + 1 / 61, 6), abs=1e-9)
+    assert out[10]["rrf_score"] == pytest.approx(round(1 / 61, 6), abs=1e-9)
+    assert out[13]["rrf_score"] == pytest.approx(round(1 / 62, 6), abs=1e-9)
+    assert out[12]["rrf_score"] == pytest.approx(round(1 / 63, 6), abs=1e-9)
+    # 11 beats 10 (two contributions); 13 (1/62) beats 12 (1/63);
+    # 10 vs 13: 1/61 > 1/62
+    assert [out[p]["rank"] for p in (11, 10, 13, 12)] == [1, 2, 3, 4]
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Python replay of the selection on one doc + the winnowing
+    guarantee: docs sharing a run of >= w+n-1 tokens share a selected
+    hash; sub-window docs keep their global min; empty docs hash ''."""
+    import hashlib
+
+    from colbert_spark.functions.analysis import python_tokenize
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, shared + " iota kappa unique one two three"),
+        (1, "different prefix words here " + shared),
+        (2, "tiny doc here"),            # 3 < n → zero shingles
+        (3, "five little tokens right here"),  # 2 shingles < w → global min
+        (4, "..."),                      # normalizes empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in textstats.winnow_fingerprints(docs, n=4, w=5).collect()}
+
+    def replay(text, n=4, w=5):
+        t = python_tokenize(text)
+        grams = [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if len(hs) >= w:
+            sel = sorted({min(hs[i:i + w]) for i in range(len(hs) - w + 1)})
+        elif hs:
+            sel = [min(hs)]
+        else:
+            sel = []
+        return (len(grams), len(sel),
+                hashlib.md5(" ".join(sel).encode()).hexdigest(), set(sel))
+
+    sels = {}
+    for doc_id, text in rows:
+        n_g, n_s, fp, sel = replay(text)
+        assert out[doc_id]["n_grams"] == n_g
+        assert out[doc_id]["n_selected"] == n_s
+        assert out[doc_id]["winnow_fp"] == fp
+        sels[doc_id] = sel
+    # guarantee: 8 shared tokens = w + n - 1 → at least one common hash
+    assert sels[0] & sels[1]
+    assert out[2]["n_grams"] == 0 and out[2]["n_selected"] == 0
+    assert out[3]["n_grams"] == 2 and out[3]["n_selected"] == 1
+    assert out[4]["winnow_fp"] == replay("...")[2]  # md5('')
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Buckets partition the corpus into ordered thirds: every head
+    score <= every middle score <= every tail score, and sizes are
+    near-equal (interpolated-percentile cuts)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = textstats.perplexity_buckets(docs).collect()
+    by = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        by[r["ppl_bucket"]].append(r["bits_per_token"])
+    n = len(rows)
+    assert n == 500
+    for b in by.values():
+        assert abs(len(b) - n / 3) < n * 0.1
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"])
