@@ -398,8 +398,16 @@ def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
     Thresholds round 6 (like every repo ratio) so the DuckDB replay
     (quantile_cont — same (n−1)-position linear interpolation) lands on
     identical cut points over the identical round-6 score column.
+
+    The score table feeds BOTH the threshold agg and the output, so it
+    is persisted (caching-registered — callers drain after
+    materializing); without it the whole tokenize→tf→cf pipeline runs
+    twice (plan-audited: 20 exchanges → 8).
     """
-    scores = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    from .. import caching
+
+    scores = unigram_logprob(docs, id_col=id_col, text_col=text_col).persist()
+    caching.register(scores, "perplexity_buckets")
     th = scores.agg(
         F.round(F.percentile("bits_per_token", F.lit(1.0 / 3.0)), 6)
         .alias("_t1"),
