@@ -3164,3 +3164,73 @@ SELECT doc_id, doclen, bits_per_token,
             ELSE 'tail' END AS ppl_bucket
 FROM sc CROSS JOIN th
 """
+
+
+def q_bm25_prf_top10(spark, sf_dir):
+    """RM3-style pseudo-relevance-feedback BM25: rank, mine the top-5
+    docs for the 10 strongest expansion terms (Σtf·idf, round 6), re-rank
+    with originals at weight 1.0 and expansions at 0.5."""
+    from colbert_spark.operators import expansion
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    return expansion.bm25_prf_topk(docs, _query_df(spark), k=10,
+                                   fb_docs=5, fb_terms=10, fb_weight=0.5)
+
+
+QUERIES["bm25_prf_top10"] = q_bm25_prf_top10
+
+
+# PRF replay: base BM25 round (rank ≤ 5 feedback docs), expansion-term
+# election Σtf·idf round-6 with (ew desc, term) tiebreak, anti-join vs
+# the original query terms, weighted second scoring round (w·term_score
+# summed, round 6), final rank. All four stages share the corpus CTEs.
+ORACLE["bm25_prf_top10"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+fb AS (SELECT qid, pid FROM ranked WHERE rank <= 5),
+cand AS (
+  SELECT f.qid, tf.term, sum(tf.tf) AS ftf
+  FROM fb f JOIN tf ON f.pid = tf.pid
+  GROUP BY f.qid, tf.term
+),
+cand2 AS (
+  SELECT c.qid, c.term,
+         round(c.ftf * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS ew
+  FROM cand c JOIN dfreq d USING (term) CROSS JOIN stats s
+  WHERE NOT EXISTS (SELECT 1 FROM qt
+                    WHERE qt.qid = c.qid AND qt.term = c.term)
+),
+texp AS (
+  SELECT qid, term, 0.5 AS w FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY ew DESC, term) AS r
+    FROM cand2
+  ) WHERE r <= 10
+),
+wq AS (
+  SELECT qid, term, 1.0 AS w FROM qt
+  UNION ALL
+  SELECT qid, term, w FROM texp
+),
+scored2 AS (
+  SELECT wq.qid, tf.pid,
+         round(sum(
+           wq.w
+           * ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM wq
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY wq.qid, tf.pid
+)
+SELECT qid, pid, rank, score FROM (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, pid) AS rank
+  FROM scored2
+) WHERE rank <= 10
+"""

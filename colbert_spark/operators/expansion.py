@@ -1,0 +1,102 @@
+"""Pseudo-relevance-feedback query expansion (RM3-style) over BM25.
+
+Two-pass retrieval (Abdul-Jaleel et al. 2004, the RM3 recipe; Robertson
+terms it blind feedback): rank once, mine expansion terms from the top
+fb_docs documents, re-rank with the weighted expanded query. The
+reference expands queries with [MASK] embeddings the model fills in
+(colbert/modeling/query_tokenization.py:52-111); PRF is the lexical
+engine's counterpart — expansion terms come from the corpus itself.
+
+Determinism contract (both engines replay it): expansion weight =
+Σ_fb tf(t) · idf(t) rounded 6, top fb_terms by (weight desc, term asc),
+original query terms always weight 1.0, expansion terms fb_weight;
+final score = Σ_t w_t · term_score(t) rounded 6 before ranking.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from colbert_spark import caching
+from colbert_spark.functions import analysis, bm25
+from colbert_spark.operators import brute
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    fb_weight: float = 0.5,
+    id_col: str = "pid",
+    text_col: str = "text",
+    doc_maxlen: int | None = 220,
+    query_maxlen: int | None = 32,
+) -> DataFrame:
+    """PRF-expanded BM25 top-k → (qid, pid, rank, score).
+
+    Plan shape at scale: ONE tokenize pass feeds both rounds (persisted,
+    caching-registered). The feedback stage never touches the corpus —
+    fb is fb_docs·Q rows, AQE broadcasts it into the (pid-keyed) join
+    that mines candidate terms, and the per-query term election windows
+    over fb-doc terms only. Both scoring rounds are the bm25_topk
+    funnel: broadcast weighted query terms into the token table, one
+    map-side-combined (qid, pid) agg, per-qid rank window. Nothing
+    corpus-sized shuffles that bm25_topk itself would not shuffle.
+    """
+    token_df = analysis.tokenize_docs(
+        docs, id_col=id_col, text_col=text_col, maxlen=doc_maxlen
+    ).persist()
+    caching.register(token_df, "bm25_prf_topk")
+    tok = token_df.select(
+        F.col(id_col).alias("pid"), "term", "tf", "doclen"
+    )
+    n, avgdl = brute.corpus_stats(token_df)
+    tstats = brute.term_stats(token_df)
+    qterms = brute.query_terms(queries, query_maxlen)
+    rank_w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+
+    def scored_ranking(wq: DataFrame, kk: int) -> DataFrame:
+        qt = wq.join(tstats, "term").select(
+            "qid", "term", "w", bm25.idf(F.col("df"), n).alias("idf")
+        )
+        sc = tok.join(F.broadcast(qt), "term").select(
+            "qid", "pid",
+            (F.col("w") * bm25.term_score(
+                F.col("tf"), F.col("doclen"), avgdl, F.col("idf"))).alias("s"),
+        )
+        agg = sc.groupBy("qid", "pid").agg(
+            F.round(F.sum("s"), bm25.SCORE_DECIMALS).alias("score")
+        )
+        return (
+            agg.withColumn("rank", F.row_number().over(rank_w))
+            .filter(F.col("rank") <= kk)
+        )
+
+    base = scored_ranking(qterms.withColumn("w", F.lit(1.0)), fb_docs)
+    fb = base.select("qid", "pid")
+
+    cand = (
+        fb.join(tok, "pid")
+        .groupBy("qid", "term")
+        .agg(F.sum("tf").alias("ftf"))
+        .join(qterms, ["qid", "term"], "left_anti")
+        .join(tstats, "term")
+        .select(
+            "qid", "term",
+            F.round(F.col("ftf").cast("double")
+                    * bm25.idf(F.col("df"), n), 6).alias("ew"),
+        )
+    )
+    exp_w = Window.partitionBy("qid").orderBy(F.desc("ew"), F.asc("term"))
+    top_exp = (
+        cand.withColumn("r", F.row_number().over(exp_w))
+        .filter(F.col("r") <= fb_terms)
+        .select("qid", "term", F.lit(float(fb_weight)).alias("w"))
+    )
+    wq = qterms.withColumn("w", F.lit(1.0)).unionByName(top_exp)
+    return scored_ranking(wq, k).select(
+        "qid", "pid", F.col("rank").cast("long").alias("rank"), "score"
+    )

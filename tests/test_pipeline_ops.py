@@ -1147,3 +1147,30 @@ def test_perplexity_buckets_terciles(spark):
         assert abs(len(b) - n / 3) < n * 0.1
     assert max(by["head"]) <= min(by["middle"])
     assert max(by["middle"]) <= min(by["tail"])
+
+
+def test_prf_reduces_to_bm25_and_expansion_moves_ranks(spark):
+    """fb_terms=0 must reproduce plain BM25 exactly (same rows, ranks,
+    scores); with expansion on, at least one query's top-10 changes —
+    the feedback terms are doing something."""
+    from colbert_spark.operators.brute import bm25_topk
+    from colbert_spark.operators.expansion import bm25_prf_topk
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(F.col("doc_id").alias("pid"), "text")
+    from colbert_spark.entry_queries import QUERY_SET
+
+    queries = spark.createDataFrame(QUERY_SET, "qid long, text string")
+    base = sorted(tuple(r) for r in bm25_topk(docs, queries, k=10).collect())
+    prf0 = sorted(
+        tuple(r) for r in
+        bm25_prf_topk(docs, queries, k=10, fb_terms=0).collect()
+    )
+    assert base == prf0
+    prf = sorted(
+        tuple(r) for r in
+        bm25_prf_topk(docs, queries, k=10, fb_docs=5, fb_terms=10,
+                      fb_weight=0.5).collect()
+    )
+    assert prf != base
