@@ -133,6 +133,11 @@ def main() -> None:
               entry_queries.lined_docs(all_docs)).count())
     timed("ann_ivfpq",
           lambda: entry_queries.q_ann_ivfpq_top5(spark, sf_dir).count())
+    # r5b retrieval funnels: hybrid lexical+vector RRF and two-pass PRF
+    timed("hybrid_rrf",
+          lambda: entry_queries.q_hybrid_rrf_top10(spark, sf_dir).count())
+    timed("bm25_prf",
+          lambda: entry_queries.q_bm25_prf_top10(spark, sf_dir).count())
 
     # new in r2: rerank-over-candidates through the allow-list scatter path
     allow = searcher.search_all(queries, k=20).df.select("qid", "pid")

@@ -3234,3 +3234,59 @@ SELECT qid, pid, rank, score FROM (
   FROM scored2
 ) WHERE rank <= 10
 """
+
+
+def q_search_snippets(spark, sf_dir):
+    """KWIC snippets for the flagship BM25 top-10: per hit, the 8-token
+    window with the most query-term occurrences (tie → earliest)."""
+    from colbert_spark.operators import snippets
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    ranking = brute.bm25_topk(docs, _query_df(spark), k=10).select(
+        "qid", "pid", "rank")
+    return snippets.kwic_snippets(ranking, docs, _query_df(spark), width=8)
+
+
+QUERIES["search_snippets"] = q_search_snippets
+
+
+# KWIC replay: the BM25 funnel (rank ≤ 10), hit positions = indices of
+# query terms in the FULL normalized token stream, candidate windows
+# start at hits, score = hits inside [p, p+8), winner = max count then
+# smallest start; snippet = winner window space-joined.
+ORACLE["search_snippets"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+rk AS (SELECT qid, pid, rank FROM ranked WHERE rank <= 10),
+dt AS (
+  SELECT doc_id AS pid,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+qa AS (SELECT qid, list_distinct({_sql_tokens('text', 32)}) AS qt FROM q),
+base AS (
+  SELECT rk.qid, rk.pid, rk.rank, dt.t,
+         list_filter(range(0, len(dt.t)),
+                     i -> list_contains(qa.qt, dt.t[i + 1])) AS hp
+  FROM rk JOIN dt USING (pid) JOIN qa USING (qid)
+),
+sc2 AS (
+  SELECT qid, pid, rank, t, hp,
+         CASE WHEN len(hp) > 0 THEN
+           list_max(list_transform(hp,
+             p -> len(list_filter(hp, x -> x >= p AND x < p + 8))))
+         ELSE 0 END AS maxc
+  FROM base
+),
+sel AS (
+  SELECT qid, pid, rank, t, maxc,
+         CASE WHEN len(hp) > 0 THEN
+           list_min(list_filter(hp,
+             p -> len(list_filter(hp, x -> x >= p AND x < p + 8)) = maxc))
+         ELSE 0 END AS bp
+  FROM sc2
+)
+SELECT qid, pid, rank, CAST(maxc AS BIGINT) AS n_hits,
+       coalesce(array_to_string(t[bp + 1 : bp + 8], ' '), '') AS snippet
+FROM sel
+"""

@@ -1174,3 +1174,35 @@ def test_prf_reduces_to_bm25_and_expansion_moves_ranks(spark):
                       fb_weight=0.5).collect()
     )
     assert prf != base
+
+
+def test_kwic_snippets_window_election(spark):
+    """Window election: densest window wins, earliest on tie; zero-hit
+    rows fall back to the document head with n_hits 0."""
+    from colbert_spark.operators.snippets import kwic_snippets
+
+    docs = spark.createDataFrame(
+        [
+            # one hit at 0; later a dense cluster: cat(6) cat(7) dog(8)
+            (1, "cat filler filler filler filler filler cat cat dog end"),
+            (2, "nothing relevant here at all whatsoever friend"),
+        ],
+        "pid long, text string",
+    )
+    queries = spark.createDataFrame([(7, "cat dog")], "qid long, text string")
+    ranking = spark.createDataFrame(
+        [(7, 1, 1), (7, 2, 2)], "qid long, pid long, rank long"
+    )
+    out = {r["pid"]: r for r in
+           kwic_snippets(ranking, docs, queries, width=4).collect()}
+    # windows starting at each hit p ∈ {0, 6, 7, 8}: counts 1, 3, 2, 1
+    assert out[1]["n_hits"] == 3
+    assert out[1]["snippet"] == "cat cat dog end"
+    assert out[2]["n_hits"] == 0
+    assert out[2]["snippet"] == "nothing relevant here at"
+    # tie → earliest: two equally dense windows
+    docs2 = spark.createDataFrame(
+        [(5, "cat a b cat c d")], "pid long, text string")
+    r2 = spark.createDataFrame([(7, 5, 1)], "qid long, pid long, rank long")
+    row = kwic_snippets(r2, docs2, queries, width=3).collect()[0]
+    assert row["n_hits"] == 1 and row["snippet"] == "cat a b"
