@@ -3290,3 +3290,201 @@ SELECT qid, pid, rank, CAST(maxc AS BIGINT) AS n_hits,
        coalesce(array_to_string(t[bp + 1 : bp + 8], ' '), '') AS snippet
 FROM sel
 """
+
+
+# ---------------------------------------------------------------------------
+# positional fulltext queries (operators/phrase.py)
+# ---------------------------------------------------------------------------
+
+# phrase probes: dense, sparse, multi-term, zero-hit, and OOV cases
+PHRASE_SET: list[tuple[int, str]] = [
+    (0, "order sort"),
+    (1, "hash scan"),
+    (2, "data stream"),
+    (3, "the fast key"),
+    (4, "scan filter join"),
+    (5, "slow zzabsent"),
+    (6, "batch batch"),
+]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase top-10 per phrase (contiguous token-run match)."""
+    from colbert_spark.operators import phrase
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    phrases = spark.createDataFrame(PHRASE_SET, "qid long, text string")
+    return phrase.phrase_match(docs, phrases, k=10)
+
+
+QUERIES["phrase_search"] = q_phrase_search
+
+
+def _sql_phrase_values() -> str:
+    return ", ".join(f"(CAST({q} AS BIGINT), '{t}')" for q, t in PHRASE_SET)
+
+
+# Replay: tf = #positions p with t[p+1 .. p+m] == phrase (DuckDB list
+# slice is 1-based inclusive), gated exactly like the Spark guard.
+ORACLE["phrase_search"] = f"""
+WITH dt AS (
+  SELECT doc_id AS pid,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+qp(qid, text) AS (VALUES {_sql_phrase_values()}),
+qa AS (SELECT qid, {_sql_tokens('text', 32)} AS qt FROM qp),
+hits AS (
+  SELECT qid, pid,
+         CASE WHEN len(qt) > 0 AND len(t) >= len(qt)
+              AND len(list_filter(qt, x -> NOT list_contains(t, x))) = 0
+         THEN len(list_filter(range(0, len(t) - len(qt) + 1),
+                  p -> list_slice(t, p + 1, p + len(qt)) = qt))
+         ELSE 0 END AS phrase_tf
+  FROM dt CROSS JOIN qa
+),
+r AS (
+  SELECT qid, pid, CAST(phrase_tf AS BIGINT) AS phrase_tf,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY phrase_tf DESC, pid) AS rank
+  FROM hits WHERE phrase_tf > 0
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, phrase_tf
+FROM r WHERE rank <= 10
+"""
+
+
+def q_bm25_proximity_top10(spark, sf_dir):
+    """Proximity-reranked BM25: MinDist boost over the top-50 funnel."""
+    from colbert_spark.operators import phrase
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    return phrase.bm25_proximity_topk(docs, _query_df(spark), k=10,
+                                      rerank_depth=50)
+
+
+QUERIES["bm25_proximity_top10"] = q_bm25_proximity_top10
+
+
+# Replay: base = BM25 ranked (round-6, (-score, pid)) cut at 50; MinDist
+# over matched-term positions with differing terms; boost ln(1+e^-d).
+ORACLE["bm25_proximity_top10"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+qa AS (SELECT qid, list_distinct({_sql_tokens('text', 32)}) AS qt FROM q),
+base AS (
+  SELECT r.qid, r.pid, r.score AS bm25, d.terms AS t, qa.qt
+  FROM ranked r JOIN d ON r.pid = d.pid JOIN qa ON r.qid = qa.qid
+  WHERE r.rank <= 50
+),
+hits AS (
+  SELECT qid, pid, bm25, t,
+         list_filter(range(0, len(t)),
+                     i -> list_contains(qt, t[i + 1])) AS hp
+  FROM base
+),
+prox AS (
+  SELECT qid, pid, bm25,
+         list_min(flatten(list_transform(hp,
+           p -> list_transform(
+                  list_filter(hp, q2 -> t[q2 + 1] <> t[p + 1]),
+                  q2 -> abs(q2 - p))))) AS mind
+  FROM hits
+),
+rescored AS (
+  SELECT qid, pid,
+         round(bm25 + coalesce(
+           ln(1.0 + exp(-CAST(mind AS DOUBLE))), 0.0), 6) AS score
+  FROM prox
+),
+rr AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, pid) AS rank
+  FROM rescored
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM rr WHERE rank <= 10
+"""
+
+
+# boolean probes: every must list non-empty (ranking needs a score)
+BOOL_SET: list[tuple[int, str, str, str]] = [
+    (0, "scan", "filter join", "zzabsent"),
+    (1, "window sort", "", "batch"),
+    (2, "hash", "merge table", "dup"),
+    (3, "data stream", "", ""),
+    (4, "key order", "fast slow", "scan"),
+]
+
+
+def q_boolean_search(spark, sf_dir):
+    """Boolean-gated BM25 top-10 (must AND / should OR / must_not NOT)."""
+    from colbert_spark.operators import phrase
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    bq = spark.createDataFrame(
+        BOOL_SET, "qid long, must string, should string, must_not string")
+    return phrase.boolean_search(docs, bq, k=10)
+
+
+QUERIES["boolean_search"] = q_boolean_search
+
+
+def _sql_bool_values() -> str:
+    return ", ".join(
+        f"(CAST({q} AS BIGINT), '{m}', '{s}', '{n}')"
+        for q, m, s, n in BOOL_SET)
+
+
+# Replay: gate on the 220-token view; score = BM25 over must ∪ should.
+ORACLE["boolean_search"] = f"""
+WITH {_SQL_CORPUS_CTES},
+bq(qid, must, should, must_not) AS (VALUES {_sql_bool_values()}),
+ba AS (
+  SELECT qid, list_distinct({_sql_tokens('must', 32)}) AS mu,
+         list_distinct({_sql_tokens('should', 32)}) AS sh,
+         list_distinct({_sql_tokens('must_not', 32)}) AS no
+  FROM bq
+),
+gate AS (
+  SELECT ba.qid, d.pid
+  FROM d CROSS JOIN ba
+  WHERE len(list_filter(mu, x -> NOT list_contains(d.terms, x))) = 0
+    AND (len(sh) = 0
+         OR len(list_filter(sh, x -> list_contains(d.terms, x))) > 0)
+    AND len(list_filter(no, x -> list_contains(d.terms, x))) = 0
+),
+qt2 AS (
+  SELECT DISTINCT qid,
+         unnest({_sql_tokens("must || ' ' || should", 32)}) AS term
+  FROM bq
+),
+scored2 AS (
+  SELECT qt2.qid, tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM qt2
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY qt2.qid, tf.pid
+),
+matched AS (
+  SELECT scored2.qid, scored2.pid, scored2.score
+  FROM scored2 JOIN gate
+    ON scored2.qid = gate.qid AND scored2.pid = gate.pid
+),
+rb AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, pid) AS rank
+  FROM matched
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM rb WHERE rank <= 10
+"""

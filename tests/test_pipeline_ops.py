@@ -1206,3 +1206,78 @@ def test_kwic_snippets_window_election(spark):
     r2 = spark.createDataFrame([(7, 5, 1)], "qid long, pid long, rank long")
     row = kwic_snippets(r2, docs2, queries, width=3).collect()[0]
     assert row["n_hits"] == 1 and row["snippet"] == "cat a b"
+
+
+def test_phrase_match_hand_case(spark):
+    """Contiguous-run counting: overlapping runs count per start position;
+    scattered terms (all present, never adjacent) do NOT match."""
+    from colbert_spark.operators.phrase import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # "a b" starts at 0,2,4 → tf 3
+            (2, "b a x a x b"),     # both terms present, never "a b"
+            (3, "a b"),             # exact doc == phrase
+            (4, "a"),               # shorter than the phrase
+        ],
+        "pid long, text string",
+    )
+    phrases = spark.createDataFrame([(9, "a b")], "qid long, text string")
+    out = {r["pid"]: r for r in phrase_match(docs, phrases).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["phrase_tf"] == 3 and out[1]["rank"] == 1
+    assert out[3]["phrase_tf"] == 1 and out[3]["rank"] == 2
+
+
+def test_bm25_proximity_rerank_moves_adjacent_doc_up(spark):
+    """Two docs with identical term bags (same BM25): the one where the
+    query terms are adjacent outranks the scattered one after the
+    MinDist boost; with prox_weight=0 the ranking equals plain BM25."""
+    from colbert_spark.operators import brute
+    from colbert_spark.operators.phrase import bm25_proximity_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat x x x x dog"),  # same bag as pid 2, scattered
+            (2, "x x cat dog x x"),  # adjacent → bigger boost
+            (3, "cat z z z z z"),    # one term only → zero boost
+        ],
+        "pid long, text string",
+    )
+    queries = spark.createDataFrame([(1, "cat dog")], "qid long, text string")
+    out = bm25_proximity_topk(docs, queries, k=3).orderBy("rank").collect()
+    assert [r["pid"] for r in out[:2]] == [2, 1]
+    # plain BM25 ties 1 and 2 → pid tiebreak puts 1 first
+    base = brute.bm25_topk(docs, queries, k=3).orderBy("rank").collect()
+    assert [r["pid"] for r in base[:2]] == [1, 2]
+    # zero-weight rerank reproduces the base ranking exactly
+    z = bm25_proximity_topk(docs, queries, k=3, prox_weight=0.0)
+    assert [(r["qid"], r["pid"], r["rank"]) for r in z.orderBy("rank").collect()] \
+        == [(r["qid"], r["pid"], r["rank"]) for r in base]
+
+
+def test_boolean_search_gate_semantics(spark):
+    """must=AND, should=OR (vacuous when empty), must_not=NOT; matches
+    ranked by BM25 over must ∪ should."""
+    from colbert_spark.operators.phrase import boolean_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta banned"),
+            (3, "alpha delta gamma"),
+            (4, "beta gamma delta"),
+        ],
+        "pid long, text string",
+    )
+    bq = spark.createDataFrame(
+        [
+            (0, "alpha", "beta delta", "banned"),  # 1 (beta), 3 (delta); 2 banned
+            (1, "gamma", "", ""),                  # 1, 3, 4
+        ],
+        "qid long, must string, should string, must_not string",
+    )
+    out = boolean_search(docs, bq, k=10).collect()
+    got = {(r["qid"], r["pid"]) for r in out}
+    assert got == {(0, 1), (0, 3), (1, 1), (1, 3), (1, 4)}
+    assert all(r["score"] > 0 for r in out)
