@@ -3488,3 +3488,74 @@ rb AS (
 SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
 FROM rb WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy term lookup (operators/fuzzy.py)
+# ---------------------------------------------------------------------------
+
+# probes: deletion / insertion / exact / transposition(dist-2, filtered
+# via a shared deletion variant) / no-neighborhood cases
+FUZZY_SET: list[str] = ["scann", "joi", "merg", "windoww", "hash",
+                        "tabel", "zzzqx"]
+
+
+def q_fuzzy_suggest(spark, sf_dir):
+    """SymSpell deletion-neighborhood spell suggestions over the corpus
+    term dictionary (df from the 220-token BM25 view)."""
+    from colbert_spark.operators import fuzzy
+
+    token_df = analysis.tokenize_docs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", maxlen=220)
+    dic = brute.term_stats(token_df.withColumnRenamed("doc_id", "pid")) \
+        .select("term", "df")
+    probes = spark.createDataFrame([(t,) for t in FUZZY_SET],
+                                   "qterm string")
+    return fuzzy.term_suggest(dic, probes, k=5)
+
+
+QUERIES["fuzzy_suggest"] = q_fuzzy_suggest
+
+
+def _sql_fuzzy_values() -> str:
+    return ", ".join(f"('{t}')" for t in FUZZY_SET)
+
+
+# Replay: neighborhood = {s} ∪ 1-deletions, equi-join on the variant,
+# exact levenshtein ≤ 1 filter, (dist, -df, term) window.
+ORACLE["fuzzy_suggest"] = f"""
+WITH {_SQL_CORPUS_CTES},
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+dv AS (
+  SELECT term, df, unnest(list_distinct(list_append(
+    list_transform(range(1, len(term) + 1),
+                   i -> substr(term, 1, i - 1)
+                        || substr(term, i + 1, len(term))),
+    term))) AS v
+  FROM dict
+),
+qp(qterm) AS (VALUES {_sql_fuzzy_values()}),
+qv AS (
+  SELECT qterm, unnest(list_distinct(list_append(
+    list_transform(range(1, len(qterm) + 1),
+                   i -> substr(qterm, 1, i - 1)
+                        || substr(qterm, i + 1, len(qterm))),
+    qterm))) AS v
+  FROM qp
+),
+cand AS (
+  SELECT DISTINCT qterm, term, df FROM qv JOIN dv USING (v)
+),
+scored AS (
+  SELECT qterm, term, CAST(levenshtein(qterm, term) AS BIGINT) AS dist, df
+  FROM cand WHERE levenshtein(qterm, term) <= 1
+),
+rk AS (
+  SELECT qterm, term, dist, df,
+         row_number() OVER (PARTITION BY qterm
+                            ORDER BY dist, df DESC, term) AS rank
+  FROM scored
+)
+SELECT qterm, term, dist, df, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""

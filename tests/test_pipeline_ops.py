@@ -1281,3 +1281,31 @@ def test_boolean_search_gate_semantics(spark):
     got = {(r["qid"], r["pid"]) for r in out}
     assert got == {(0, 1), (0, 3), (1, 1), (1, 3), (1, 4)}
     assert all(r["score"] > 0 for r in out)
+
+
+def test_fuzzy_term_suggest(spark):
+    """Deletion-neighborhood candidates + exact distance filter: exact
+    match ranks first, dist-1 edits found, transpositions (dist 2 via a
+    shared deletion) and far terms excluded; df breaks ties."""
+    from colbert_spark.operators.fuzzy import term_suggest
+
+    dic = spark.createDataFrame(
+        [("scan", 100), ("scans", 40), ("span", 60), ("table", 10),
+         ("chair", 5)],
+        "term string, df long",
+    )
+    probes = spark.createDataFrame(
+        [("scan",), ("scann",), ("tabel",), ("zzz",)], "qterm string")
+    out = term_suggest(dic, probes, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qterm"], []).append(
+            (r["rank"], r["term"], r["dist"]))
+    for v in by_q.values():
+        v.sort()
+    # exact first (dist 0), then dist-1 by df desc: span(60) > scans(40)
+    assert by_q["scan"] == [(1, "scan", 0), (2, "span", 1), (3, "scans", 1)]
+    assert by_q["scann"] == [(1, "scan", 1), (2, "scans", 1)]
+    # 'tabel' shares the deletion 'tabl' with 'table' but levenshtein=2
+    assert "tabel" not in by_q
+    assert "zzz" not in by_q
