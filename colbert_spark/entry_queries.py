@@ -3559,3 +3559,50 @@ rk AS (
 SELECT qterm, term, dist, df, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic near-duplicate removal (similarity.semdedup)
+# ---------------------------------------------------------------------------
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: first_k-16 cells, drop any
+    vector with a lower-id same-cell neighbor at cosine ≥ 0.35."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, n_clusters=16, threshold=0.35,
+                               quantizer="first_k", mode="flag")
+
+
+QUERIES["semdedup_drop"] = q_semdedup
+
+
+# Replay: first_k assignment (the ann_ivf oracle's scheme), same-cell
+# lower-id pairs at round-6 cosine ≥ τ, dup_of = min j (arg_min for its
+# sim — Spark's min_by counterpart).
+ORACLE["semdedup_drop"] = """
+WITH it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM it WHERE vec_id < 16),
+asn AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT it.vec_id, it.v, cent.cell,
+           row_number() OVER (
+             PARTITION BY it.vec_id
+             ORDER BY list_dot_product(it.v, cent.cv)
+                      / (sqrt(list_dot_product(it.v, it.v))
+                         * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.cell ASC) AS r
+    FROM it CROSS JOIN cent
+  ) WHERE r = 1
+),
+pairs AS (
+  SELECT a.vec_id AS i, a.cell, b.vec_id AS j,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id > b.vec_id
+)
+SELECT i AS vec_id, CAST(cell AS BIGINT) AS cell,
+       min(j) AS dup_of, arg_min(sim, j) AS sim
+FROM pairs WHERE sim >= 0.35
+GROUP BY i, cell
+"""

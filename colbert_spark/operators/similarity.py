@@ -854,3 +854,101 @@ def cosine_topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", F.col("rank").cast("long").alias("rank"), "sim")
     )
+
+
+def semdedup(
+    items: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    quantizer: str = "kmeans",
+    mode: str = "flag",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal by clustering embeddings and comparing pairs
+    ONLY within each cluster — the pruning that makes embedding dedup
+    tractable when the LSH-banded route (cosine_near_pairs) isn't wanted.
+
+    Deterministic contract: vector i is a duplicate iff some LOWER-id
+    vector j in the SAME cell has round(cos(i, j), 6) >= threshold —
+    i.e. each ε-ball keeps its minimum-id representative (ties and
+    chains resolve by id, no iteration). Cross-cell near-duplicates are
+    missed by design (that is SemDeDup's recall trade; raise n_clusters
+    for speed, lower it for recall).
+
+    mode='flag'  → dropped rows (vec_id, cell, dup_of, sim): dup_of =
+                   the smallest qualifying lower id, sim = that pair's
+                   rounded cosine.
+    mode='clean' → surviving item rows.
+
+    quantizer: 'kmeans' (trained, quality path) or 'first_k' (the
+    n_clusters lowest-id vectors are the centroids, argmax-cosine
+    assignment, tie → lowest cell) — fully replayable in ANSI SQL, same
+    scheme as cosine_topk_ivf.
+
+    Plan shape: centroids broadcast; ONE shuffle keyed by cell for the
+    self-join; pairwise work is Σ|cell|² — bounded by choosing
+    n_clusters ∝ N/√target_cell_size; a skewed giant cell shows up in
+    the shuffle and is fixed by raising n_clusters, not by salting
+    (salting would split balls across keys and change results).
+    """
+    if mode not in ("flag", "clean"):
+        raise ValueError(f"mode must be 'flag' or 'clean', got {mode!r}")
+    spark = items.sparkSession
+    base = items.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        ml_items = base.withColumn("features", array_to_vector("v"))
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(
+            ml_items)
+        assigned = model.transform(ml_items).select(
+            "vec_id", "v", F.col("prediction").alias("cell")
+        ).withColumn("nv", _norm(F.col("v")))
+    elif quantizer == "first_k":
+        cent_rows = base.orderBy("vec_id").limit(n_clusters).collect()
+        cent_df = spark.createDataFrame(
+            [(int(r["vec_id"]), list(r["v"])) for r in cent_rows],
+            "cell int, cv array<double>",
+        )
+        ic = base.join(F.broadcast(cent_df)).select(
+            "vec_id", "v", "cell",
+            (_dot(F.col("v"), F.col("cv"))
+             / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("csim"),
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.desc("csim"),
+                                                  F.asc("cell"))
+        assigned = (
+            ic.withColumn("r", F.row_number().over(wa))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "v", "cell")
+            .withColumn("nv", _norm(F.col("v")))
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+
+    a = assigned.select(F.col("vec_id").alias("i"), F.col("cell"),
+                        F.col("v").alias("vi"), F.col("nv").alias("ni"))
+    b = assigned.select(F.col("vec_id").alias("j"), F.col("cell"),
+                        F.col("v").alias("vj"), F.col("nv").alias("nj"))
+    pairs = a.join(b, "cell").filter(F.col("i") > F.col("j")).select(
+        "i", "cell", "j",
+        F.round(_dot(F.col("vi"), F.col("vj"))
+                / (F.col("ni") * F.col("nj")), SIM_DECIMALS).alias("sim"),
+    ).filter(F.col("sim") >= threshold)
+    dropped = pairs.groupBy("i", "cell").agg(
+        F.min("j").alias("dup_of"),
+        F.min_by("sim", "j").alias("sim"),
+    ).select(F.col("i").alias("vec_id"),
+             F.col("cell").cast("long").alias("cell"), "dup_of", "sim")
+    if mode == "clean":
+        return items.join(
+            dropped.select(F.col("vec_id").alias(id_col)), id_col,
+            "left_anti")
+    return dropped

@@ -1309,3 +1309,32 @@ def test_fuzzy_term_suggest(spark):
     # 'tabel' shares the deletion 'tabl' with 'table' but levenshtein=2
     assert "tabel" not in by_q
     assert "zzz" not in by_q
+
+
+def test_semdedup_min_id_representative(spark):
+    """Each ε-ball keeps its min-id member; cross-cell near-dups are NOT
+    dropped (the SemDeDup recall trade); clean mode = anti-join."""
+    from colbert_spark.operators.similarity import semdedup
+
+    # cells (first_k, k=2): centroids are vec 0 (x-axis) and vec 1
+    # (y-axis). 0,2,3 land in cell 0; 1,4 in cell 1.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),   # ≈ vec 0 → dropped (dup_of 0)
+        (3, [0.6, 0.4, 0.0]),     # cell 0, cos≈0.83 vs 0/2: below τ=0.95
+        (4, [0.01, 0.999, 0.0]),  # ≈ vec 1 → dropped (dup_of 1)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, n_clusters=2, threshold=0.95, quantizer="first_k")
+    got = {r["vec_id"]: r["dup_of"] for r in out.collect()}
+    assert got == {2: 0, 4: 1}
+    kept = semdedup(emb, n_clusters=2, threshold=0.95,
+                    quantizer="first_k", mode="clean")
+    assert sorted(r["vec_id"] for r in kept.collect()) == [0, 1, 3]
+    # chain semantics: 3 at τ low enough to catch 3~2 keeps dup_of = min j
+    out2 = {r["vec_id"]: r["dup_of"]
+            for r in semdedup(emb, n_clusters=2, threshold=0.80,
+                              quantizer="first_k").collect()}
+    assert out2[3] == 0 or out2[3] == 2  # lower-id witness exists
+    assert out2[2] == 0
