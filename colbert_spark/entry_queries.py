@@ -3606,3 +3606,73 @@ SELECT i AS vec_id, CAST(cell AS BIGINT) AS cell,
 FROM pairs WHERE sim >= 0.35
 GROUP BY i, cell
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-n-gram importance log-weights toward the lang='en'
+    slice, top-100 most target-like docs."""
+    from colbert_spark.operators import dsir
+
+    docs = _docs(spark, sf_dir)
+    out = dsir.dsir_log_weights(docs, docs.filter(F.col("lang") == "en"),
+                                n_buckets=128)
+    w = Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+    return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 100)
+            .select("doc_id", "log_weight", "rank"))
+
+
+QUERIES["dsir_weights"] = q_dsir_weights
+
+
+# Replay: unigram+bigram grams, portable md5-60bit bucket % 128,
+# Laplace-smoothed bucket freqs, per-doc Σ count·ln-ratio rounded 6.
+ORACLE["dsir_weights"] = f"""
+WITH dd AS (
+  SELECT doc_id, lang, {_sql_tokens('text', 220)} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(t,
+           CASE WHEN len(t) >= 2 THEN
+             list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i + 1])
+           ELSE [] END)) AS gram
+  FROM dd
+),
+gb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 128 AS bucket
+  FROM grams
+),
+cb AS (SELECT doc_id, bucket, count(*) AS c FROM gb GROUP BY doc_id, bucket),
+raw AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM cb GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS ct FROM gb WHERE lang = 'en'
+        GROUP BY bucket),
+spine AS (SELECT unnest(range(0, 128)) AS bucket),
+totals AS (
+  SELECT (SELECT sum(cr) FROM raw) AS tr, (SELECT sum(ct) FROM tgt) AS tt
+),
+ratio AS (
+  SELECT spine.bucket,
+         ln((coalesce(ct, 0) + 1.0) / (tt + 128.0))
+         - ln((coalesce(cr, 0) + 1.0) / (tr + 128.0)) AS lr
+  FROM spine LEFT JOIN raw USING (bucket) LEFT JOIN tgt USING (bucket)
+  CROSS JOIN totals
+),
+wts AS (
+  SELECT doc_id, round(sum(c * lr), 6) AS log_weight
+  FROM cb JOIN ratio USING (bucket) GROUP BY doc_id
+),
+rk AS (
+  SELECT doc_id, log_weight,
+         row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rank
+  FROM wts
+)
+SELECT doc_id, log_weight, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 100
+"""

@@ -1338,3 +1338,53 @@ def test_semdedup_min_id_representative(spark):
                               quantizer="first_k").collect()}
     assert out2[3] == 0 or out2[3] == 2  # lower-id witness exists
     assert out2[2] == 0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs sharing the target's vocabulary score higher than docs that
+    don't; a pure-Python replay of the formula matches exactly."""
+    import math
+    from collections import Counter
+
+    from colbert_spark.operators.dsir import dsir_log_weights
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana apple banana"),
+            (2, "metal oxide metal oxide"),
+            (3, "apple metal banana oxide"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "apple banana apple apple banana")], "doc_id long, text string")
+    B = 32
+    out = {r["doc_id"]: r["log_weight"]
+           for r in dsir_log_weights(corpus, target, n_buckets=B).collect()}
+    assert out[1] > out[3] > out[2]
+
+    # exact replay
+    def grams(text):
+        t = text.split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    import hashlib
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    raw = Counter(bucket(g) for _, tx in
+                  [(1, "apple banana apple banana"),
+                   (2, "metal oxide metal oxide"),
+                   (3, "apple metal banana oxide")] for g in grams(tx))
+    tgt = Counter(bucket(g) for g in grams("apple banana apple apple banana"))
+    tr, tt = sum(raw.values()), sum(tgt.values())
+
+    def lw(text):
+        return round(sum(
+            math.log((tgt.get(bucket(g), 0) + 1.0) / (tt + B))
+            - math.log((raw.get(bucket(g), 0) + 1.0) / (tr + B))
+            for g in grams(text)), 6)
+
+    assert abs(out[1] - lw("apple banana apple banana")) < 2e-6
+    assert abs(out[2] - lw("metal oxide metal oxide")) < 2e-6
