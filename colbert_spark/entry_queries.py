@@ -3676,3 +3676,39 @@ rk AS (
 SELECT doc_id, log_weight, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= 100
 """
+
+
+# ---------------------------------------------------------------------------
+# faceted search counts (operators/facets.py)
+# ---------------------------------------------------------------------------
+
+def q_search_facets(spark, sf_dir):
+    """Facet counts (lang, source) over the BM25 top-50 result sets."""
+    from colbert_spark.operators import facets
+
+    docs = _docs(spark, sf_dir)
+    ranking = brute.bm25_topk(
+        docs.select(F.col("doc_id").alias("pid"), "text"),
+        _query_df(spark), k=50).select("qid", "pid")
+    return facets.facet_counts(
+        ranking, docs.withColumnRenamed("doc_id", "pid"),
+        ["lang", "source"])
+
+
+QUERIES["search_facets"] = q_search_facets
+
+
+ORACLE["search_facets"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+rk AS (SELECT qid, pid FROM ranked WHERE rank <= 50),
+meta AS (SELECT doc_id AS pid, lang, source FROM documents),
+fv AS (
+  SELECT qid, 'lang' AS facet, coalesce(lang, 'null') AS value
+  FROM rk JOIN meta USING (pid)
+  UNION ALL
+  SELECT qid, 'source' AS facet, coalesce(source, 'null') AS value
+  FROM rk JOIN meta USING (pid)
+)
+SELECT qid, facet, value, CAST(count(*) AS BIGINT) AS n_hits
+FROM fv GROUP BY qid, facet, value
+"""

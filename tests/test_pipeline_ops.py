@@ -1388,3 +1388,23 @@ def test_dsir_weights_prefer_target_like_docs(spark):
 
     assert abs(out[1] - lw("apple banana apple banana")) < 2e-6
     assert abs(out[2] - lw("metal oxide metal oxide")) < 2e-6
+
+
+def test_facet_counts_totals_and_nulls(spark):
+    """Facet totals equal the ranked-set size per dimension; NULLs count
+    under 'null'."""
+    from colbert_spark.operators.facets import facet_counts
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", None), (3, "de", "a")],
+        "pid long, lang string, src string")
+    ranking = spark.createDataFrame(
+        [(7, 1), (7, 2), (7, 3), (8, 1)], "qid long, pid long")
+    out = facet_counts(ranking, docs, ["lang", "src"]).collect()
+    got = {(r["qid"], r["facet"], r["value"]): r["n_hits"] for r in out}
+    assert got[(7, "lang", "en")] == 2 and got[(7, "lang", "de")] == 1
+    assert got[(7, "src", "a")] == 2 and got[(7, "src", "null")] == 1
+    assert got[(8, "lang", "en")] == 1
+    # per-dimension totals == ranked size
+    assert sum(v for (q, f, _), v in got.items()
+               if q == 7 and f == "lang") == 3
