@@ -3712,3 +3712,197 @@ fv AS (
 SELECT qid, facet, value, CAST(count(*) AS BIGINT) AS n_hits
 FROM fv GROUP BY qid, facet, value
 """
+
+
+# ---------------------------------------------------------------------------
+# Common-Crawl html surface: extraction + link graph (functions/analysis.py
+# extract_text_from_html, operators/linkgraph.py)
+# ---------------------------------------------------------------------------
+#
+# The driver's documents table has no html column (BASELINE.json
+# input_hint: url, warc_ts, html, text, lang), so both engines synthesize
+# the SAME html bytes per page from (doc_id, text): a template with
+# <style>/<script> blocks, a comment, entity-escaped body text, and two
+# <a href> out-links to pages (doc_id*3+1) % M and (doc_id*7+2) % M.
+# The template lives ONCE below as (literal | field) segments; the Spark
+# expression and the DuckDB SQL are both generated from it, so they can't
+# drift. Page url = https://example{id%7}.com/page/{id} — the same form
+# the hrefs use, so link targets unify with page nodes.
+
+_HTML_M = 300  # fixture slice: doc_id < 300 at every sf
+
+_HTML_SEGMENTS: list[tuple[str, str]] = [
+    ("lit", "<html><head><title>Doc "), ("f", "id"),
+    ("lit", '</title>\n<style type="text/css">p { color: #aaa; }</style>\n'
+            '<script>var x = 1 < 2 && "f o o";</script></head>\n'
+            "<body><!-- capture "), ("f", "id"),
+    ("lit", " -->\n<h1>Doc &quot;"), ("f", "id"),
+    ("lit", '&quot;</h1>\n<p class="b">'), ("f", "esc"),
+    ("lit", '</p>\n<a href="https://example'), ("f", "h1"),
+    ("lit", ".com/page/"), ("f", "t1"),
+    ("lit", '">next &amp; one</a>\n<a href="https://example'), ("f", "h2"),
+    ("lit", ".com/page/"), ("f", "t2"),
+    ("lit", '">two</a>&nbsp;<i>tail</i>\n</body></html>'),
+]
+
+#: encode order: & first, then < > " ' (decode in analysis.py mirrors)
+_HTML_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                 ('"', "&quot;"), ("'", "&#39;")]
+
+
+def _html_expr():
+    """Spark column: the synthesized html string for a documents row."""
+    t1 = (F.col("doc_id") * 3 + 1) % _HTML_M
+    t2 = (F.col("doc_id") * 7 + 2) % _HTML_M
+    esc = F.col("text")
+    for a, b in _HTML_ESCAPES:
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    fields = {
+        "id": F.col("doc_id").cast("string"),
+        "t1": t1.cast("string"),
+        "t2": t2.cast("string"),
+        "h1": (t1 % 7).cast("string"),
+        "h2": (t2 % 7).cast("string"),
+        "esc": esc,
+    }
+    return F.concat(*[
+        F.lit(s) if kind == "lit" else fields[s]
+        for kind, s in _HTML_SEGMENTS
+    ])
+
+
+def _html_sql() -> str:
+    """DuckDB expression: the IDENTICAL html string (from _HTML_SEGMENTS)."""
+    esc = "text"
+    for a, b in _HTML_ESCAPES:
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        esc = f"replace({esc}, '{qa}', '{qb}')"
+    fields = {
+        "id": "CAST(doc_id AS VARCHAR)",
+        "t1": f"CAST((doc_id * 3 + 1) % {_HTML_M} AS VARCHAR)",
+        "t2": f"CAST((doc_id * 7 + 2) % {_HTML_M} AS VARCHAR)",
+        "h1": f"CAST(((doc_id * 3 + 1) % {_HTML_M}) % 7 AS VARCHAR)",
+        "h2": f"CAST(((doc_id * 7 + 2) % {_HTML_M}) % 7 AS VARCHAR)",
+        "esc": esc,
+    }
+    parts = [
+        "'" + s.replace("'", "''") + "'" if kind == "lit" else fields[s]
+        for kind, s in _HTML_SEGMENTS
+    ]
+    return "(" + " || ".join(parts) + ")"
+
+
+def _page_url_expr():
+    return F.concat(
+        F.lit("https://example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/page/"), F.col("doc_id").cast("string"))
+
+
+_PAGE_URL_SQL = ("('https://example' || CAST(doc_id % 7 AS VARCHAR) "
+                 "|| '.com/page/' || CAST(doc_id AS VARCHAR))")
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML → visible-text extraction over synthesized Common-Crawl-style
+    pages: the input_hint's byte-identical-extraction invariant as a board
+    row. html is a real binary column; extraction runs through the
+    Arrow-vectorized mapInPandas path (analysis.with_extracted_text); the
+    oracle replays the full strip/decode/collapse chain with RE2 regexes
+    on the same synthesized string."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < _HTML_M)
+    pages = d.select("doc_id", F.encode(_html_expr(), "UTF-8").alias("html"))
+    out = analysis.with_extracted_text(pages, html_col="html",
+                                       out_col="extracted")
+    return out.select("doc_id", "extracted")
+
+
+QUERIES["html_extract"] = q_html_extract
+
+ORACLE["html_extract"] = f"""
+WITH p AS (
+  SELECT doc_id, {_html_sql()} AS html
+  FROM documents WHERE doc_id < {_HTML_M}
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(html,
+            '<(?:script|style)\\b.*?</(?:script|style)\\s*>', ' ', 'gis'),
+          '<!--.*?-->', ' ', 'gs'),
+        '<[^>]*>', ' ', 'gs'),
+    '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+    '&#39;', chr(39)), '&nbsp;', ' '),
+    '\\s+', ' ', 'g')) AS extracted
+FROM p
+"""
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Link graph over the synthesized pages: href extraction (pure
+    codegen regexp_extract_all over the html binary), in-degree, and
+    3-iteration PageRank (d=0.85, operators/linkgraph.py). The oracle
+    replays extraction and unrolls the three power iterations as CTEs;
+    the fixture graph has no dangling nodes (every page carries two
+    out-links), so the dangling term is exactly 0.0 in both engines."""
+    from colbert_spark.operators import linkgraph
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < _HTML_M)
+    pages = d.select(
+        _page_url_expr().alias("url"),
+        F.encode(_html_expr(), "UTF-8").alias("html"))
+    edges = linkgraph.extract_links(pages)
+    pr = linkgraph.pagerank(edges, iterations=3, damping=0.85)
+    indeg = linkgraph.in_degree(edges)
+    return pr.join(indeg, "url", "left").select(
+        "url",
+        F.coalesce(F.col("in_degree"), F.lit(0)).cast("long")
+         .alias("in_degree"),
+        F.round("rank", 6).alias("pagerank"))
+
+
+QUERIES["link_pagerank"] = q_link_pagerank
+
+_PR_ITER_SQL = """
+r{i} AS (
+  SELECT nodes.url,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         + CAST(0.85 AS DOUBLE) * coalesce(s.c, 0.0) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, sum(r.rank / o.outdeg) AS c
+    FROM edges e JOIN r{prev} r ON e.src = r.url
+    JOIN o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON nodes.url = s.dst
+)"""
+
+ORACLE["link_pagerank"] = f"""
+WITH p AS (
+  SELECT doc_id, {_PAGE_URL_SQL} AS url, {_html_sql()} AS html
+  FROM documents WHERE doc_id < {_HTML_M}
+),
+edges AS (
+  SELECT DISTINCT url AS src, dst
+  FROM (SELECT url, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+               AS dst FROM p)
+  WHERE dst <> ''
+),
+nodes AS (
+  SELECT DISTINCT src AS url FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+o AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT url, CAST(1.0 AS DOUBLE) / nn.n AS rank
+       FROM nodes CROSS JOIN nn),
+{_PR_ITER_SQL.format(i=1, prev=0)},
+{_PR_ITER_SQL.format(i=2, prev=1)},
+{_PR_ITER_SQL.format(i=3, prev=2)},
+indeg AS (SELECT dst AS url, count(*) AS ind FROM edges GROUP BY dst)
+SELECT r3.url,
+       CAST(coalesce(indeg.ind, 0) AS BIGINT) AS in_degree,
+       round(r3.rank, 6) AS pagerank
+FROM r3 LEFT JOIN indeg ON r3.url = indeg.url
+"""
