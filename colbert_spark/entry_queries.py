@@ -3906,3 +3906,108 @@ SELECT r3.url,
        round(r3.rank, 6) AS pagerank
 FROM r3 LEFT JOIN indeg ON r3.url = indeg.url
 """
+
+
+# ---------------------------------------------------------------------------
+# query-likelihood (Dirichlet) ranking + wildcard prefix search
+# (operators/lm.py, operators/expansion.py)
+# ---------------------------------------------------------------------------
+
+_QL_MU = 1500
+
+
+def q_ql_dirichlet_top10(spark, sf_dir):
+    """Dirichlet query-likelihood top-10 (operators/lm.py) — the second
+    classical ranking model beside BM25, over the same query set."""
+    from colbert_spark.operators import lm
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    out = lm.ql_dirichlet_topk(docs, _query_df(spark), k=10, mu=float(_QL_MU))
+    return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
+                      "score")
+
+
+QUERIES["ql_dirichlet_top10"] = q_ql_dirichlet_top10
+
+ORACLE["ql_dirichlet_top10"] = f"""
+WITH {_SQL_CORPUS_CTES},
+cc AS (SELECT CAST(sum(doclen) AS DOUBLE) AS c FROM dl),
+qm AS (SELECT qt.qid, qt.term, dfreq.cf FROM qt JOIN dfreq USING (term)),
+qv AS (SELECT qid, count(*) AS nv FROM qm GROUP BY qid),
+scored AS (
+  SELECT qm.qid, tf.pid,
+         round(sum(ln(1.0 + tf.tf
+                      / (CAST({_QL_MU} AS DOUBLE) * qm.cf / cc.c)))
+               + max(qv.nv) * ln(CAST({_QL_MU} AS DOUBLE)
+                                 / (max(dl.doclen)
+                                    + CAST({_QL_MU} AS DOUBLE))), 6) AS score
+  FROM qm JOIN tf USING (term) JOIN dl ON tf.pid = dl.pid
+  JOIN qv ON qm.qid = qv.qid CROSS JOIN cc
+  GROUP BY qm.qid, tf.pid
+),
+ranked AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS rank
+  FROM scored
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 10
+"""
+
+
+#: wildcard fixture: 'c' exercises the max_expansions cap, 'zz' matches
+#: nothing (that qid yields zero rows in both engines)
+PREFIX_SET: list[tuple[int, str]] = [
+    (0, "sca"), (1, "win"), (2, "filt"), (3, "c"), (4, "zz"),
+]
+
+
+def q_prefix_search_top10(spark, sf_dir):
+    """Wildcard prefix search: dictionary expansion (top-10 by df) + BM25
+    OR-scoring (operators/expansion.prefix_search_topk)."""
+    from colbert_spark.operators import expansion
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    pq = spark.createDataFrame(PREFIX_SET, "qid long, prefix string")
+    out = expansion.prefix_search_topk(docs, pq, k=10, max_expansions=10)
+    return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
+                      "score")
+
+
+QUERIES["prefix_search_top10"] = q_prefix_search_top10
+
+_SQL_PREFIX_VALUES = ", ".join(
+    f"(CAST({q} AS BIGINT), '{p}')" for q, p in PREFIX_SET)
+
+ORACLE["prefix_search_top10"] = f"""
+WITH {_SQL_CORPUS_CTES},
+pq(qid, prefix) AS (VALUES {_SQL_PREFIX_VALUES}),
+m AS (
+  SELECT pq.qid, dfreq.term, dfreq.df,
+         row_number() OVER (PARTITION BY pq.qid
+                            ORDER BY dfreq.df DESC, dfreq.term) AS r
+  FROM pq JOIN dfreq ON dfreq.term LIKE pq.prefix || '%'
+),
+qx AS (
+  SELECT qid, term,
+         ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM m CROSS JOIN stats s WHERE r <= 10
+),
+scored AS (
+  SELECT qx.qid, tf.pid,
+         round(sum(
+           qx.idf * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM qx JOIN tf USING (term) JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY qx.qid, tf.pid
+),
+ranked AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid) AS rank
+  FROM scored
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 10
+"""

@@ -100,3 +100,64 @@ def bm25_prf_topk(
     return scored_ranking(wq, k).select(
         "qid", "pid", F.col("rank").cast("long").alias("rank"), "score"
     )
+
+
+def prefix_search_topk(
+    docs: DataFrame,
+    prefix_queries: DataFrame,
+    k: int = 10,
+    max_expansions: int = 10,
+    id_col: str = "pid",
+    text_col: str = "text",
+    doc_maxlen: int | None = 220,
+) -> DataFrame:
+    """Wildcard prefix search (Lucene `pre*` semantics) → ranking.
+
+    prefix_queries(qid, prefix): each prefix expands against the term
+    dictionary — top `max_expansions` matching terms by (df desc, term
+    asc), Lucene's TopTermsRewrite — and the expanded term set scores as
+    an ordinary BM25 OR-query (blended rewrite; documented contract,
+    replayed by the oracle). Prefixes matching nothing yield no rows for
+    that qid. Repo ranking invariants: float64, round 6 before ranking,
+    tiebreak (-score, pid).
+
+    Plan shape: dictionary expansion is a broadcast nested-loop join of
+    the (tiny) prefix table against the term dictionary — the dictionary
+    never shuffles for the match; the per-qid expansion window runs over
+    matched dictionary rows only. Scoring is the bm25_topk funnel (one
+    tokenize pass, broadcast expanded-terms join, one combinable agg,
+    rank window).
+    """
+    token_df = analysis.tokenize_docs(
+        docs, id_col=id_col, text_col=text_col, maxlen=doc_maxlen
+    ).persist()
+    caching.register(token_df, "prefix_search_topk")
+    n, avgdl = brute.corpus_stats(token_df)
+    tstats = brute.term_stats(token_df)
+
+    matched = tstats.join(
+        F.broadcast(prefix_queries.select("qid", "prefix")),
+        F.col("term").startswith(F.col("prefix")),
+    )
+    exp_w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    qt = (
+        matched.withColumn("r", F.row_number().over(exp_w))
+        .filter(F.col("r") <= max_expansions)
+        .select("qid", "term", bm25.idf(F.col("df"), n).alias("idf"))
+    )
+    scored = token_df.withColumnRenamed(id_col, "pid").join(
+        F.broadcast(qt), "term"
+    ).select(
+        "qid", "pid",
+        bm25.term_score(F.col("tf"), F.col("doclen"), avgdl,
+                        F.col("idf")).alias("s"),
+    )
+    agg = scored.groupBy("qid", "pid").agg(
+        F.round(F.sum("s"), bm25.SCORE_DECIMALS).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "pid", "rank", "score")
+    )

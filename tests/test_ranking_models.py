@@ -1,0 +1,99 @@
+"""Dirichlet query-likelihood + prefix search vs pure-Python replays."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from colbert_spark import caching
+from colbert_spark.functions.analysis import python_tokenize
+from colbert_spark.operators import expansion, lm
+
+DOCS = [
+    (0, "apple banana apple cherry"),
+    (1, "banana cherry date"),
+    (2, "apple apple apple banana banana cherry date elder"),
+    (3, "fig grape"),
+    (4, "apple fig"),
+]
+QUERIES = [(0, "apple banana"), (1, "date"), (2, "zzmissing apple")]
+
+
+def _ql_py(docs, queries, mu=1500.0, k=10):
+    toks = {pid: python_tokenize(t, 220) for pid, t in docs}
+    dl = {p: len(t) for p, t in toks.items()}
+    cf: dict[str, int] = {}
+    for t in toks.values():
+        for w in t:
+            cf[w] = cf.get(w, 0) + 1
+    cc = float(sum(dl.values()))
+    out = {}
+    for qid, qtext in queries:
+        qterms = sorted({w for w in python_tokenize(qtext, 32) if w in cf})
+        nv = len(qterms)
+        scores = {}
+        for pid, t in toks.items():
+            matched = [w for w in qterms if w in t]
+            if not matched:
+                continue
+            s = sum(
+                math.log(1.0 + t.count(w) / (mu * cf[w] / cc))
+                for w in matched
+            ) + nv * math.log(mu / (dl[pid] + mu))
+            scores[pid] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        out[qid] = [(p, i + 1, s) for i, (p, s) in enumerate(ranked)]
+    return out
+
+
+def test_ql_dirichlet_matches_python_replay(spark):
+    docs = spark.createDataFrame(DOCS, "pid long, text string")
+    qs = spark.createDataFrame(QUERIES, "qid long, text string")
+    got = lm.ql_dirichlet_topk(docs, qs, k=10)
+    rows = {(r.qid, r.pid, r.rank, r.score) for r in got.collect()}
+    caching.drain()
+    want = {
+        (qid, p, r, s)
+        for qid, lst in _ql_py(DOCS, QUERIES).items()
+        for p, r, s in lst
+    }
+    assert rows == want
+
+
+def test_ql_oov_only_query_yields_no_rows(spark):
+    docs = spark.createDataFrame(DOCS, "pid long, text string")
+    qs = spark.createDataFrame([(9, "zz yy")], "qid long, text string")
+    assert lm.ql_dirichlet_topk(docs, qs, k=10).count() == 0
+    caching.drain()
+
+
+def test_prefix_search_expansion_cap_and_no_match(spark):
+    docs = spark.createDataFrame(DOCS, "pid long, text string")
+    pq = spark.createDataFrame(
+        [(0, "a"), (1, "zz"), (2, "fig")], "qid long, prefix string")
+    out = expansion.prefix_search_topk(docs, pq, k=10, max_expansions=1)
+    rows = [(r.qid, r.pid) for r in out.collect()]
+    caching.drain()
+    qids = {q for q, _ in rows}
+    assert 1 not in qids                      # no term starts with zz
+    # qid 0 with cap 1 expands to 'apple' only (highest df among a*)
+    got0 = sorted(p for q, p in rows if q == 0)
+    assert got0 == [0, 2, 4]                  # docs containing apple
+    got2 = sorted(p for q, p in rows if q == 2)
+    assert got2 == [3, 4]                     # docs containing fig
+
+
+def test_prefix_search_ranks_like_bm25_on_single_term(spark):
+    """A prefix expanding to exactly one term must equal bm25 on it."""
+    from colbert_spark.operators import brute
+
+    docs = spark.createDataFrame(DOCS, "pid long, text string")
+    pq = spark.createDataFrame([(0, "date")], "qid long, prefix string")
+    got = {(r.pid, r.rank, r.score)
+           for r in expansion.prefix_search_topk(docs, pq, k=10).collect()}
+    qs = spark.createDataFrame([(0, "date")], "qid long, text string")
+    want = {(r.pid, r.rank, r.score)
+            for r in brute.bm25_topk(docs, qs, k=10).collect()}
+    caching.drain()
+    assert got == want
