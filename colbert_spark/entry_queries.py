@@ -4011,3 +4011,180 @@ ranked AS (
 SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
 FROM ranked WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# containment dedup, per-host budget cap, PMI collocations
+# (operators/dedup.py, operators/webcrawl.py, operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS_FULL = ("list_filter(regexp_split_to_array(lower(text), "
+                  "'[^a-z0-9]+'), x -> x <> '')")
+
+
+def q_containment_dedup(spark, sf_dir):
+    """Broder containment near-superset detection: originals (doc_id <
+    150) unioned with synthetic fragments (doc_id+10000 = first half of
+    each original's tokens — built identically in the oracle); every
+    fragment's 2-gram shingle set is contained in its source, so the
+    fragment→source direction always fires at threshold 0.9, plus any
+    organic near-identical pairs the corpus carries."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150) \
+        .select("doc_id", "text")
+    toks = d.select("doc_id", analysis.tokens("text").alias("_t")) \
+        .filter(F.size("_t") >= 4)
+    frag = toks.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(
+            F.expr("slice(_t, 1, greatest(2, size(_t) div 2))"), " "
+        ).alias("text"))
+    corpus = d.unionByName(frag)
+    return dedup.containment_pairs(corpus, n=2, threshold=0.9)
+
+
+QUERIES["containment_dedup"] = q_containment_dedup
+
+ORACLE["containment_dedup"] = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+bt AS (SELECT doc_id, {_SQL_TOKS_FULL} AS t FROM base),
+frag AS (
+  SELECT doc_id + 10000 AS doc_id,
+         coalesce(array_to_string(
+           list_slice(t, 1, greatest(2, len(t) // 2)), ' '), '') AS text
+  FROM bt WHERE len(t) >= 4
+),
+corpus AS (
+  SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM frag
+),
+ct AS (SELECT doc_id, {_SQL_TOKS_FULL} AS t FROM corpus WHERE
+       len({_SQL_TOKS_FULL}) >= 2),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS shingle
+  FROM ct
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.doc_id <> y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+scored AS (
+  SELECT a, b, round(i / sz.n_sh, 6) AS containment
+  FROM inter JOIN sz ON inter.a = sz.doc_id
+)
+SELECT a, b, containment FROM scored WHERE containment >= 0.9
+"""
+
+
+def q_host_doc_cap(spark, sf_dir):
+    """Per-host document budget over the raw-URL-variant fixture (the
+    url_latest_capture synthesis): keep the newest 40 captures per host,
+    two-phase presalted rank (webcrawl.host_budget_cap presalt=8 — the
+    pathological-host remedy, exercised here to prove it changes
+    nothing)."""
+    from colbert_spark.operators.webcrawl import host_budget_cap
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select("doc_id")
+    page = F.expr("doc_id div 5").cast("string")
+    k = F.expr("(doc_id div 5) % 7").cast("string")
+    v = F.col("doc_id") % 5
+    base = F.concat(F.lit("example"), k, F.lit(".com/page/"), page)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), base, F.lit("/")))
+        .when(v == 1, F.concat(F.lit("HTTPS://EXAMPLE"), k,
+                               F.lit(".COM:443/page/"), page))
+        .when(v == 2, F.concat(F.lit("https://"), base,
+                               F.lit("?utm_source=x&b=2&a=1")))
+        .when(v == 3, F.concat(F.lit("https://"), base, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?a=1&b=2")))
+    )
+    rows = d.select("doc_id", url.alias("url"),
+                    F.col("doc_id").cast("long").alias("ts"))
+    kept = host_budget_cap(rows, max_per_host=40, url_col="url",
+                           ts_col="ts", presalt=8)
+    return kept.select("host", "doc_id", "ts")
+
+
+QUERIES["host_doc_cap"] = q_host_doc_cap
+
+ORACLE["host_doc_cap"] = f"""
+WITH d AS (
+  SELECT doc_id, doc_id // 5 AS page, doc_id % 5 AS v
+  FROM documents WHERE doc_id < 500
+),
+u AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'https://example' || CAST(page % 7 AS VARCHAR)
+                  || '.com/page/' || CAST(page AS VARCHAR) || '/'
+      WHEN 1 THEN 'HTTPS://EXAMPLE' || CAST(page % 7 AS VARCHAR)
+                  || '.COM:443/page/' || CAST(page AS VARCHAR)
+      WHEN 2 THEN 'https://example' || CAST(page % 7 AS VARCHAR)
+                  || '.com/page/' || CAST(page AS VARCHAR)
+                  || '?utm_source=x&b=2&a=1'
+      WHEN 3 THEN 'https://example' || CAST(page % 7 AS VARCHAR)
+                  || '.com/page/' || CAST(page AS VARCHAR) || '#frag'
+      ELSE 'https://example' || CAST(page % 7 AS VARCHAR)
+                  || '.com/page/' || CAST(page AS VARCHAR) || '?a=1&b=2'
+    END AS url,
+    CAST(doc_id AS BIGINT) AS ts
+  FROM d
+),
+h AS (
+  SELECT doc_id, url, ts,
+         lower(regexp_extract(url, '{_SQL_URL_RE}', 2)) AS host,
+         row_number() OVER (
+           PARTITION BY lower(regexp_extract(url, '{_SQL_URL_RE}', 2))
+           ORDER BY ts DESC, url ASC) AS rn
+  FROM u
+)
+SELECT host, doc_id, ts FROM h WHERE rn <= 40
+"""
+
+
+def q_collocations_pmi(spark, sf_dir):
+    """Top-50 bigram collocations by PMI (min_count 5) over the full
+    documents table (operators/textstats.bigram_collocations)."""
+    return textstats.bigram_collocations(
+        _docs(spark, sf_dir), min_count=5, k=50
+    ).select("bigram", F.col("n_pairs").cast("long").alias("n_pairs"), "pmi")
+
+
+QUERIES["collocations_pmi"] = q_collocations_pmi
+
+ORACLE["collocations_pmi"] = f"""
+WITH dd AS (SELECT doc_id, {_sql_tokens('text', 220)} AS t FROM documents),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(t) AS w FROM dd) GROUP BY w
+),
+big AS (
+  SELECT bigram, count(*) AS n_pairs
+  FROM (
+    SELECT unnest(CASE WHEN len(t) >= 2 THEN
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+           ELSE [] END) AS bigram
+    FROM dd
+  ) GROUP BY bigram
+),
+tot AS (
+  SELECT CAST(sum(len(t)) AS BIGINT) AS u,
+         CAST(sum(CASE WHEN len(t) >= 1 THEN len(t) - 1 ELSE 0 END)
+              AS BIGINT) AS t
+  FROM dd
+),
+scored AS (
+  SELECT bigram, CAST(n_pairs AS BIGINT) AS n_pairs,
+         round(ln((n_pairs / tot.t)
+                  / ((ca.c / tot.u) * (cb.c / tot.u))), 6) AS pmi
+  FROM big
+  JOIN uni ca ON split_part(bigram, ' ', 1) = ca.w
+  JOIN uni cb ON split_part(bigram, ' ', 2) = cb.w
+  CROSS JOIN tot
+  WHERE n_pairs >= 5
+)
+SELECT bigram, n_pairs, pmi FROM scored ORDER BY pmi DESC, bigram LIMIT 50
+"""

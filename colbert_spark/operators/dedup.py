@@ -699,3 +699,41 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
             ).alias("text_clean"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Broder containment near-superset pairs: (a, b, containment) where
+    containment = |S(a) ∩ S(b)| / |S(a)| ≥ threshold, a ≠ b, over distinct
+    n-gram shingle sets. Catches quote-inclusion / fragment-of cases that
+    symmetric Jaccard misses (a 30-token excerpt of a 300-token page has
+    Jaccard ≈ 0.1 but containment 1.0). Both directions are evaluated;
+    mutual near-dups yield two rows (well-defined, documented).
+
+    Scale note: same shared-shingle self-join spine as
+    ngram_jaccard_pairs — the brute baseline; at corpus scale feed the
+    candidate pairs from minhash_lsh_pairs and use this only to verify
+    containment exactly on candidates.
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"),
+                                F.col("n_sh").alias("na")), "a")
+        .select("a", "b",
+                F.round(F.col("inter") / F.col("na"), 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

@@ -420,3 +420,85 @@ def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
         .when(F.col("bits_per_token") <= F.col("_t2"), F.lit("middle"))
         .otherwise(F.lit("tail")).alias("ppl_bucket"),
     )
+
+
+def bigram_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    maxlen: int | None = 220,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) → (bigram, n_pairs, pmi).
+
+        pmi(a,b) = ln( (c_ab / T) / ((c_a / U) · (c_b / U)) )
+
+    with c_ab the corpus bigram count (adjacent tokens, within-doc),
+    c_a/c_b unigram counts, T total bigrams, U total unigrams. Low-count
+    noise is gated by min_count (PMI's known bias toward hapax pairs);
+    output is top-k by (pmi desc, bigram asc), pmi round-6. The DuckDB
+    oracle replays the identical expression with the identical division
+    order.
+
+    Plan shape: ONE tokenize pass persisted; bigrams are formed in-row
+    (zip_with over two slices — no positional self-join); unigram and
+    bigram counts are map-side-combinable aggs on uniform term keys;
+    totals are 1-row broadcasts. Nothing corpus-sized shuffles except
+    the two count aggs any term dictionary build performs.
+    """
+    from .. import caching
+
+    toks = docs.select(
+        F.col(id_col), analysis.tokens(text_col, maxlen).alias("_t")
+    ).persist()
+    caching.register(toks, "bigram_collocations")
+
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigram = F.when(
+        F.size("_t") >= 2,
+        F.zip_with(
+            F.slice("_t", 1, F.size("_t") - 1),
+            F.slice("_t", 2, F.size("_t") - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        toks.select(F.explode(bigram).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count)
+    )
+    totals = (
+        toks.select(
+            F.size("_t").alias("nu"),
+            F.when(F.size("_t") >= 1, F.size("_t") - 1).otherwise(0)
+            .alias("nb"))
+        .agg(F.sum("nu").alias("u"), F.sum("nb").alias("t"))
+    )
+    # unigram-dictionary joins stay unhinted: AQE broadcasts while the
+    # vocabulary is small and falls back to a uniform-key shuffle join
+    # when it isn't (a web-scale vocab can be 10^8 terms — too big to
+    # force-broadcast)
+    ca = uni.select(F.col("w").alias("_a"), F.col("c").alias("ca"))
+    cb = uni.select(F.col("w").alias("_b"), F.col("c").alias("cb"))
+    scored = (
+        bi.withColumn("_a", F.split("bigram", " ")[0])
+        .withColumn("_b", F.split("bigram", " ")[1])
+        .join(ca, "_a")
+        .join(cb, "_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram", "n_pairs",
+            F.round(F.log(
+                (F.col("n_pairs") / F.col("t"))
+                / ((F.col("ca") / F.col("u")) * (F.col("cb") / F.col("u")))
+            ), 6).alias("pmi"),
+        )
+    )
+    # global top-k as sort+limit → TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows), never a single-partition window
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)

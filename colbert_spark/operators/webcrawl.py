@@ -99,3 +99,45 @@ def capture_stats(docs: DataFrame, url_col: str = "url",
             F.max("_t").alias("last_ts"),
         )
     )
+
+
+def host_budget_cap(
+    docs: DataFrame,
+    max_per_host: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    presalt: int | None = None,
+) -> DataFrame:
+    """Per-host document budget: keep at most `max_per_host` docs per
+    (lowercased) host, newest capture first, ties by raw url asc — the
+    anti-host-dominance cap every Common-Crawl curation applies (C4 and
+    CCNet both bound any single site's contribution).
+
+    Adds a `host` column; keeps every input column.
+
+    Scale path: a per-host rank window. Hosts are many and mostly small,
+    but a pathological host (a wiki mirror with 10^8 pages) makes one
+    window partition giant; `presalt=s` enables the two-phase top-N
+    remedy — rank within (host, hash-salt slice) first and keep ≤ cap
+    per slice, so no more than s·cap rows per host ever reach the global
+    per-host window. Results are identical (the global window re-ranks
+    survivors); the salt is a deterministic url hash, so output does not
+    depend on parallelism.
+    """
+    host = F.lower(F.regexp_extract(F.col(url_col), _URL_RE, 2))
+    out = docs.select("*", host.alias("host"))
+    order = [F.desc(ts_col), F.asc(url_col)]
+    if presalt is not None and presalt > 1:
+        salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(presalt))
+        lw = Window.partitionBy("host", salt).orderBy(*order)
+        out = (
+            out.withColumn("_lr", F.row_number().over(lw))
+            .filter(F.col("_lr") <= max_per_host)
+            .drop("_lr")
+        )
+    w = Window.partitionBy("host").orderBy(*order)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_host)
+        .drop("_rn")
+    )

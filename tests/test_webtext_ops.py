@@ -1,0 +1,101 @@
+"""Containment dedup, host budget cap, PMI collocations — hand-case and
+pure-Python-replay tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from colbert_spark import caching
+from colbert_spark.functions.analysis import python_tokenize
+from colbert_spark.operators import dedup, textstats
+from colbert_spark.operators.webcrawl import host_budget_cap
+
+
+def test_containment_direction_and_threshold(spark):
+    # doc 1 is a verbatim fragment of doc 0 → contained with 1.0;
+    # doc 0 is NOT contained in doc 1 (its shingle set is much larger)
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "alpha beta gamma delta"),
+            (2, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.a, r.b): r.containment
+            for r in dedup.containment_pairs(docs, n=2, threshold=0.9).collect()}
+    assert rows == {(1, 0): 1.0}
+
+
+def test_containment_mutual_near_identical(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], "doc_id long, text string")
+    rows = {(r.a, r.b) for r in
+            dedup.containment_pairs(docs, n=2, threshold=0.9).collect()}
+    assert rows == {(0, 1), (1, 0)}
+
+
+def _host_rows():
+    rows = []
+    for h in ("x", "y"):
+        for i in range(5):
+            rows.append((f"https://{h}.com/p{i}", 100 + i))
+    return rows
+
+
+def test_host_budget_cap_keeps_newest(spark):
+    df = spark.createDataFrame(_host_rows(), "url string, ts long")
+    kept = host_budget_cap(df, max_per_host=2, url_col="url", ts_col="ts")
+    got = sorted((r.host, r.url) for r in kept.collect())
+    assert got == [
+        ("x.com", "https://x.com/p3"), ("x.com", "https://x.com/p4"),
+        ("y.com", "https://y.com/p3"), ("y.com", "https://y.com/p4"),
+    ]
+
+
+def test_host_budget_cap_presalt_identical(spark):
+    df = spark.createDataFrame(_host_rows(), "url string, ts long")
+    plain = sorted((r.host, r.url, r.ts) for r in
+                   host_budget_cap(df, 3, ts_col="ts").collect())
+    salted = sorted((r.host, r.url, r.ts) for r in
+                    host_budget_cap(df, 3, ts_col="ts", presalt=4).collect())
+    assert plain == salted
+
+
+def _pmi_py(texts, min_count, k):
+    uni: dict[str, int] = {}
+    bi: dict[str, int] = {}
+    u = t = 0
+    for txt in texts:
+        toks = python_tokenize(txt, 220)
+        u += len(toks)
+        t += max(0, len(toks) - 1)
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(toks, toks[1:]):
+            bi[f"{x} {y}"] = bi.get(f"{x} {y}", 0) + 1
+    out = []
+    for g, c in bi.items():
+        if c < min_count:
+            continue
+        a, b = g.split(" ")
+        pmi = round(math.log((c / t) / ((uni[a] / u) * (uni[b] / u))), 6)
+        out.append((g, c, pmi))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+def test_bigram_collocations_matches_python_replay(spark):
+    texts = [
+        "new york is big", "new york never sleeps", "york new haven",
+        "big data new york", "the new york times", "data big new york",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string")
+    got = [(r.bigram, r.n_pairs, r.pmi) for r in
+           textstats.bigram_collocations(df, min_count=2, k=10).collect()]
+    caching.drain()
+    assert got == _pmi_py(texts, 2, 10)
+    assert any(b == "new york" for b, _, _ in got)
