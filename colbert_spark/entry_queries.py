@@ -3740,9 +3740,11 @@ _HTML_SEGMENTS: list[tuple[str, str]] = [
     ("lit", '&quot;</h1>\n<p class="b">'), ("f", "esc"),
     ("lit", '</p>\n<a href="https://example'), ("f", "h1"),
     ("lit", ".com/page/"), ("f", "t1"),
-    ("lit", '">next &amp; one</a>\n<a href="https://example'), ("f", "h2"),
+    ("lit", '">next &amp; p'), ("f", "t1"),
+    ("lit", '</a>\n<a href="https://example'), ("f", "h2"),
     ("lit", ".com/page/"), ("f", "t2"),
-    ("lit", '">two</a>&nbsp;<i>tail</i>\n</body></html>'),
+    ("lit", '">go p'), ("f", "t2"),
+    ("lit", "</a>&nbsp;<i>tail</i>\n</body></html>"),
 ]
 
 #: encode order: & first, then < > " ' (decode in analysis.py mirrors)
@@ -4187,4 +4189,93 @@ scored AS (
   WHERE n_pairs >= 5
 )
 SELECT bigram, n_pairs, pmi FROM scored ORDER BY pmi DESC, bigram LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# anchor-text search (operators/linkgraph.py extract_anchor_pairs /
+# anchor_documents): rank pages by the text OTHERS link them with
+# ---------------------------------------------------------------------------
+
+ANCHOR_QUERY_SET: list[tuple[int, str]] = [
+    (0, "p3"),
+    (1, "go p7"),
+    (2, "next p250 p1"),
+    (3, "amp"),
+]
+
+
+def q_anchor_text_search(spark, sf_dir):
+    """Anchor-text retrieval: every page's virtual document is the
+    sorted concatenation of its inbound anchor texts (Brin & Page 1998
+    §2.2); BM25 over that corpus. The oracle replays extraction
+    (parallel-unnest zip of the two regex groups), the ORDER BY anchor
+    aggregation, and the full BM25 funnel."""
+    from colbert_spark.operators import linkgraph
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < _HTML_M)
+    pages = d.select(
+        _page_url_expr().alias("url"),
+        F.encode(_html_expr(), "UTF-8").alias("html"))
+    ad = linkgraph.anchor_documents(
+        linkgraph.extract_anchor_pairs(pages)
+    ).withColumnRenamed("url", "pid")
+    qs = spark.createDataFrame(ANCHOR_QUERY_SET, "qid long, text string")
+    out = brute.bm25_topk(ad, qs, k=10, text_col="anchor_text")
+    return out.select("qid", F.col("pid").alias("url"),
+                      F.col("rank").cast("long").alias("rank"), "score")
+
+
+QUERIES["anchor_text_search"] = q_anchor_text_search
+
+_SQL_ANCHOR_VALUES = ", ".join(
+    f"(CAST({q} AS BIGINT), '{t}')" for q, t in ANCHOR_QUERY_SET)
+
+ORACLE["anchor_text_search"] = f"""
+WITH p AS (
+  SELECT doc_id, {_html_sql()} AS html
+  FROM documents WHERE doc_id < {_HTML_M}
+),
+pr AS (
+  SELECT unnest(regexp_extract_all(html,
+           'href="([^"]*)"[^>]*>([^<]*)<', 1)) AS dst,
+         unnest(regexp_extract_all(html,
+           'href="([^"]*)"[^>]*>([^<]*)<', 2)) AS anchor
+  FROM p
+),
+ad AS (
+  SELECT dst AS url, string_agg(anchor, ' ' ORDER BY anchor) AS text
+  FROM pr WHERE dst <> '' GROUP BY dst
+),
+d2 AS (SELECT url, {_sql_tokens('text', 220)} AS terms FROM ad),
+dl2 AS (SELECT url, len(terms) AS doclen FROM d2),
+tok2 AS (SELECT url, unnest(terms) AS term FROM d2),
+tf2 AS (SELECT url, term, count(*) AS tf FROM tok2 GROUP BY url, term),
+stats2 AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl2),
+q2(qid, text) AS (VALUES {_SQL_ANCHOR_VALUES}),
+qt2 AS (SELECT DISTINCT qid, unnest({_sql_tokens('text', 32)}) AS term
+        FROM q2),
+dfreq2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+scored AS (
+  SELECT qt2.qid, tf2.url,
+         round(sum(
+           ln((s.n - dfreq2.df + 0.5) / (dfreq2.df + 0.5) + 1.0)
+           * tf2.tf * ({K1} + 1.0)
+           / (tf2.tf + {K1} * (1.0 - {B} + {B} * dl2.doclen / s.avgdl))
+         ), 6) AS score
+  FROM qt2
+  JOIN dfreq2 USING (term)
+  JOIN tf2 USING (term)
+  JOIN dl2 ON tf2.url = dl2.url
+  CROSS JOIN stats2 s
+  GROUP BY qt2.qid, tf2.url
+),
+ranked AS (
+  SELECT qid, url, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, url) AS rank
+  FROM scored
+)
+SELECT qid, url, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 10
 """

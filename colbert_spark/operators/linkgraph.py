@@ -125,3 +125,54 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+#: (href, anchor-text) — group 1 url, group 2 the inner text up to the
+#: next tag; the Java-regex ∩ RE2 subset (no backrefs/lookaround)
+ANCHOR_RE = r'href="([^"]*)"[^>]*>([^<]*)<'
+
+
+def extract_anchor_pairs(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages(url, html, ...) → (src, dst, anchor): one row per link with
+    its anchor text. Both captures come from the SAME regex ran twice
+    (regexp_extract_all group 1 / group 2) and zipped positionally —
+    identical match sequences by construction, pure codegen, no UDF.
+    """
+    html_s = F.col(html_col).cast("string")
+    pat = F.lit(ANCHOR_RE)
+    return (
+        pages.select(
+            F.col(url_col).alias("src"),
+            F.explode(
+                F.arrays_zip(
+                    F.regexp_extract_all(html_s, pat, 1).alias("dst"),
+                    F.regexp_extract_all(html_s, pat, 2).alias("anchor"),
+                )
+            ).alias("z"),
+        )
+        .select("src", F.col("z.dst").alias("dst"),
+                F.col("z.anchor").alias("anchor"))
+        .filter(F.col("dst") != "")
+    )
+
+
+def anchor_documents(anchor_pairs: DataFrame) -> DataFrame:
+    """(src, dst, anchor) → (url, anchor_text): every target url's
+    incoming anchor texts joined into one virtual document (the classic
+    web-search anchor field — pages are described by the text OTHERS
+    link them with; Brin & Page 1998 §2.2; the reference has no link
+    surface at all).
+
+    Anchors are sorted before joining so the concatenation is
+    deterministic at any parallelism (collect_list order is not).
+    Aggregation is one combinable groupBy on uniform url keys; anchor
+    text per page is small (avg in-degree × anchor length), so the
+    virtual corpus is far smaller than the page corpus.
+    """
+    return (
+        anchor_pairs.groupBy(F.col("dst").alias("url"))
+        .agg(F.array_join(F.array_sort(F.collect_list("anchor")), " ")
+             .alias("anchor_text"))
+    )

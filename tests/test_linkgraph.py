@@ -75,3 +75,19 @@ def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert linkgraph.pagerank(df, iterations=2).count() == 0
     caching.drain()
+
+
+def test_anchor_pairs_and_documents(spark):
+    html = ('<p>x</p><a href="u1" class="z">first link</a>'
+            '<a href="u2">second</a><a href="">skip</a>'
+            '<a href="u1">another for u1</a>')
+    df = spark.createDataFrame([("src", html)], "url string, html string")
+    pairs = {(r.dst, r.anchor)
+             for r in linkgraph.extract_anchor_pairs(df).collect()}
+    assert pairs == {("u1", "first link"), ("u2", "second"),
+                     ("u1", "another for u1")}
+    ad = {r.url: r.anchor_text
+          for r in linkgraph.anchor_documents(
+              linkgraph.extract_anchor_pairs(df)).collect()}
+    # anchors sorted before joining → deterministic at any parallelism
+    assert ad == {"u1": "another for u1 first link", "u2": "second"}
