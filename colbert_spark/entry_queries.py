@@ -4279,3 +4279,203 @@ ranked AS (
 SELECT qid, url, CAST(rank AS BIGINT) AS rank, score
 FROM ranked WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25F fielded ranking, recency re-rank, boilerplate line removal
+# (operators/fielded.py, operators/fusion.py, operators/curation.py)
+# ---------------------------------------------------------------------------
+
+def q_bm25f_fielded(spark, sf_dir):
+    """BM25F over a synthesized fielded corpus: title = first 5 tokens
+    (weight 2.0), body = the rest (weight 1.0) — built identically in
+    the oracle, which replays the weighted-tf fold, shared length
+    normalization, doc-level idf, and the funnel."""
+    from colbert_spark.operators import fielded
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    toks = d.select(F.col("doc_id").alias("pid"),
+                    analysis.tokens("text").alias("_t"))
+    title = toks.select(
+        "pid", F.lit("title").alias("field"),
+        F.array_join(F.slice("_t", 1, 5), " ").alias("text"))
+    body = toks.select(
+        "pid", F.lit("body").alias("field"),
+        F.array_join(F.expr("slice(_t, 6, greatest(size(_t) - 5, 0))"),
+                     " ").alias("text"))
+    out = fielded.bm25f_topk(title.unionByName(body), _query_df(spark),
+                             {"title": 2.0, "body": 1.0}, k=10)
+    return out.select("qid", "pid",
+                      F.col("rank").cast("long").alias("rank"), "score")
+
+
+QUERIES["bm25f_fielded"] = q_bm25f_fielded
+
+ORACLE["bm25f_fielded"] = f"""
+WITH base AS (
+  SELECT doc_id AS pid, {_SQL_TOKS_FULL} AS t
+  FROM documents WHERE doc_id < 400
+),
+fl AS (
+  SELECT pid, CAST(2.0 AS DOUBLE) AS w,
+         coalesce(array_to_string(list_slice(t, 1, 5), ' '), '') AS text
+  FROM base
+  UNION ALL
+  SELECT pid, CAST(1.0 AS DOUBLE) AS w,
+         coalesce(array_to_string(list_slice(t, 6, len(t)), ' '), '')
+  FROM base
+),
+ft AS (SELECT pid, w, {_sql_tokens('text', 220)} AS terms FROM fl),
+lens AS (
+  SELECT pid, sum(w * len(terms)) AS lenw,
+         CAST(sum(len(terms)) AS BIGINT) AS ntok
+  FROM ft GROUP BY pid
+),
+lens2 AS (SELECT pid, lenw FROM lens WHERE ntok > 0),
+fe AS (SELECT pid, w, unnest(terms) AS term FROM ft),
+tfw AS (SELECT pid, term, sum(w * 1.0) AS tfw FROM fe GROUP BY pid, term),
+s AS (SELECT count(*) AS n, avg(lenw) AS avgdl FROM lens2),
+dfreq2 AS (SELECT term, count(*) AS df FROM tfw GROUP BY term),
+q(qid, text) AS (VALUES {_sql_values()}),
+qt2 AS (SELECT DISTINCT qid, unnest({_sql_tokens('text', 32)}) AS term
+        FROM q),
+scored AS (
+  SELECT qt2.qid, tfw.pid,
+         round(sum(
+           ln((s.n - dfreq2.df + 0.5) / (dfreq2.df + 0.5) + 1.0)
+           * tfw.tfw * ({K1} + 1.0)
+           / (tfw.tfw + {K1} * (1.0 - {B} + {B} * lens2.lenw / s.avgdl))
+         ), 6) AS score
+  FROM qt2
+  JOIN dfreq2 USING (term)
+  JOIN tfw USING (term)
+  JOIN lens2 ON tfw.pid = lens2.pid
+  CROSS JOIN s
+  GROUP BY qt2.qid, tfw.pid
+),
+ranked AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid)
+           AS rank
+  FROM scored
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_recency_rerank(spark, sf_dir):
+    """Half-life time-decay re-ranking of the BM25 top-50 (fusion.
+    time_decay_rerank): ts = doc_id % 365 'days', now = 365, half-life
+    100 — the freshness prior a crawl ranker applies."""
+    from colbert_spark.operators import fusion
+
+    docs = _docs(spark, sf_dir)
+    ranking = brute.bm25_topk(
+        docs.select(F.col("doc_id").alias("pid"), "text"),
+        _query_df(spark), k=50)
+    ts = docs.select(F.col("doc_id").alias("pid"),
+                     (F.col("doc_id") % 365).cast("double").alias("ts"))
+    out = fusion.time_decay_rerank(ranking, ts, now_ts=365.0,
+                                   half_life=100.0, k=10)
+    return out.select("qid", "pid",
+                      F.col("rank").cast("long").alias("rank"),
+                      "boosted_score")
+
+
+QUERIES["recency_rerank"] = q_recency_rerank
+
+ORACLE["recency_rerank"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+rk AS (SELECT qid, pid, score FROM ranked WHERE rank <= 50),
+ts AS (
+  SELECT doc_id AS pid, CAST(doc_id % 365 AS DOUBLE) AS ts FROM documents
+),
+b AS (
+  SELECT qid, rk.pid,
+         round(score * exp(((-0.6931471805599453) * (365.0 - ts.ts))
+                           / 100.0), 6) AS boosted_score
+  FROM rk JOIN ts ON rk.pid = ts.pid
+),
+r2 AS (
+  SELECT qid, pid, boosted_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY boosted_score DESC, pid) AS rank
+  FROM b
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, boosted_score
+FROM r2 WHERE rank <= 10
+"""
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """Per-source boilerplate line removal (curation.
+    remove_boilerplate_lines): every doc gets a synthetic cookie-banner
+    line + footer (even ids also a promo line) — injected identically in
+    the oracle; the 30% within-group vote strips exactly the template
+    lines and keeps each document's own content."""
+    from colbert_spark.operators.curation import remove_boilerplate_lines
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400) \
+        .select("doc_id", "source", "text")
+    mid = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("subscribe now "), F.col("source"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+    aug = d.select(
+        "doc_id", "source",
+        F.concat(F.lit("cookie notice "), F.col("source"), F.lit("\n"),
+                 mid, F.col("text"), F.lit("\n"),
+                 F.lit("all rights reserved")).alias("text"))
+    return remove_boilerplate_lines(aug, group_col="source", threshold=0.3)
+
+
+QUERIES["boilerplate_removal"] = q_boilerplate_removal
+
+ORACLE["boilerplate_removal"] = """
+WITH aug AS (
+  SELECT doc_id, source,
+         'cookie notice ' || source || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN 'subscribe now ' || source || chr(10) ELSE '' END
+         || text || chr(10) || 'all rights reserved' AS t2
+  FROM documents WHERE doc_id < 400
+),
+sp AS (SELECT doc_id, source, string_split(t2, chr(10)) AS l FROM aug),
+pl AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(l) + 1),
+                i -> struct_pack(pos := i, line := l[i]))) AS s
+  FROM sp
+),
+lines AS (SELECT doc_id, source, s.pos AS pos, s.line AS line FROM pl),
+gsize AS (SELECT source, count(*) AS gn FROM aug GROUP BY source),
+ldf AS (
+  SELECT source, line, count(DISTINCT doc_id) AS df
+  FROM lines WHERE line <> '' GROUP BY source, line
+),
+bp AS (
+  SELECT ldf.source, ldf.line
+  FROM ldf JOIN gsize USING (source)
+  WHERE df / gn >= 0.3
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN bp
+    ON l.source = bp.source AND l.line = bp.line
+  WHERE bp.line IS NULL
+),
+cin AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_in
+  FROM lines GROUP BY doc_id
+),
+ck AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT cin.doc_id, cin.n_lines_in,
+       coalesce(ck.n_lines_kept, 0) AS n_lines_kept,
+       coalesce(ck.clean_text, '') AS clean_text
+FROM cin LEFT JOIN ck USING (doc_id)
+"""

@@ -77,3 +77,74 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     if require_lang is not None:
         out = out.filter(F.col("lang_pred") == require_lang)
     return out.drop("_fp")
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    group_col: str = "source",
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_group_size: int = 2,
+) -> DataFrame:
+    """Per-group boilerplate line removal (the C4/RefinedWeb template
+    stripper): a line occurring in ≥ threshold of its group's documents
+    (group = host / source) is template chrome — cookie banners, nav
+    footers — and is dropped from every document; empty lines always
+    survive (they carry structure, not content). Lines are compared
+    exactly (no normalization; documented contract).
+
+    → (doc_id, n_lines_in, n_lines_kept, clean_text) with clean_text the
+    surviving lines re-joined by newline in original order.
+
+    Plan shape: lines explode once; the boilerplate vote shuffles ONE
+    md5 line-fingerprint per distinct (doc, line) — never the line text
+    — and the group doc-count join is unhinted (AQE broadcasts while the host table is small, shuffles on uniform host keys when it is not); reconstruction is a
+    combinable (doc) agg over in-doc positions. At 10^12 docs every key
+    is uniform (fingerprints) or group-sized (host), the same shapes as
+    line_dedup.
+    """
+    base = docs.select(
+        F.col(id_col), F.col(group_col).alias("_g"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_h", F.md5(F.col("_line")))
+
+    gsize = docs.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_gn")).filter(
+        F.col("_gn") >= min_group_size)
+
+    linedf = (
+        base.filter(F.col("_line") != "")
+        .select(F.col(id_col), "_g", "_h").distinct()
+        .groupBy("_g", "_h").agg(F.count(F.lit(1)).alias("_df"))
+        .join(gsize, "_g")
+        .filter(F.col("_df") / F.col("_gn") >= F.lit(threshold))
+        .select("_g", "_h", F.lit(True).alias("_bp"))
+    )
+
+    marked = base.join(linedf, ["_g", "_h"], "left")
+    kept = marked.filter(F.col("_bp").isNull())
+    return (
+        marked.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_lines_in"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_lines_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("_pos"), F.col("_line")))),
+                        lambda s: s["_line"],
+                    ), "\n",
+                ).alias("clean_text"),
+            ),
+            id_col, "left",
+        )
+        .select(
+            id_col,
+            F.col("n_lines_in").cast("long").alias("n_lines_in"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long")
+            .alias("n_lines_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

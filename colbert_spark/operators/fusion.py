@@ -65,3 +65,49 @@ def rrf_fuse(
         .select("qid", "pid", F.col("rank").cast("long").alias("rank"),
                 "rrf_score")
     )
+
+
+#: ln(2) as an exact double literal — BOTH engines use this constant so
+#: neither computes ln(2) with its own libm (1-ULP divergence risk)
+LN2 = 0.6931471805599453
+
+
+def time_decay_rerank(
+    ranking: DataFrame,
+    doc_ts: DataFrame,
+    now_ts: float,
+    half_life: float,
+    k: int = 10,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Recency-boosted re-ranking: score′ = score · 2^(−age/half_life)
+    (exponential half-life decay — the standard freshness prior for news
+    and crawl corpora), age = now_ts − ts in the caller's time unit.
+
+    ranking(qid, pid, score) × doc_ts(pid, ts) → (qid, pid, rank,
+    boosted_score); round-6 before the rank window, tiebreak
+    (-score, pid). The decay is exp(−LN2·age/half_life) with LN2 a
+    shared literal (see above); exp() itself is within 1 ULP across
+    engines (the softmax surface already relies on this).
+
+    Plan: the ts join touches ranked rows only (K·Q — AQE broadcasts);
+    one per-qid rank window. Never corpus-sized.
+    """
+    j = ranking.select("qid", "pid", "score").join(
+        doc_ts.select("pid", F.col(ts_col).alias("_ts")), "pid")
+    boosted = j.select(
+        "qid", "pid",
+        F.round(
+            F.col("score")
+            * F.exp(F.lit(-LN2) * (F.lit(float(now_ts)) - F.col("_ts"))
+                    / F.lit(float(half_life))),
+            6,
+        ).alias("boosted_score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("boosted_score"),
+                                          F.asc("pid"))
+    return (
+        boosted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "pid", "rank", "boosted_score")
+    )
