@@ -4479,3 +4479,112 @@ SELECT cin.doc_id, cin.n_lines_in,
        coalesce(ck.clean_text, '') AS clean_text
 FROM cin LEFT JOIN ck USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted-sum hybrid fusion with min-max normalization (fusion.interp_fuse)
+# ---------------------------------------------------------------------------
+
+def q_hybrid_interp_top10(spark, sf_dir):
+    """Hybrid retrieval via convex score blending (alpha=0.7 lexical /
+    0.3 vector, per-query min-max normalization) over the same
+    more-like-this fixture as hybrid_rrf_top10 — the two standard
+    fusion rules side by side."""
+    from colbert_spark.operators import fusion
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    tq = _docs(spark, sf_dir).filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    lex = brute.bm25_topk(docs, tq, k=10).select("qid", "pid", "score")
+    emb = _t(spark, sf_dir, "embeddings")
+    vq = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    vec = similarity.cosine_topk_brute(emb, vq, k=10).select(
+        "qid", F.col("vec_id").alias("pid"), F.col("sim").alias("score")
+    )
+    return fusion.interp_fuse([(lex, 0.7), (vec, 0.3)], topk=10)
+
+
+QUERIES["hybrid_interp_top10"] = q_hybrid_interp_top10
+
+ORACLE["hybrid_interp_top10"] = f"""
+WITH
+d AS (SELECT doc_id AS pid, {_sql_tokens('text', 220)} AS terms FROM documents),
+dl AS (SELECT pid, len(terms) AS doclen FROM d),
+tok AS (SELECT pid, unnest(terms) AS term FROM d),
+tf AS (SELECT pid, term, count(*) AS tf FROM tok GROUP BY pid, term),
+stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id < 10),
+qt AS (SELECT DISTINCT qid, unnest({_sql_tokens('text', 32)}) AS term FROM q),
+scored AS (
+  SELECT qt.qid, tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM qt
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY qt.qid, tf.pid
+),
+lex AS (
+  SELECT qid, pid, score FROM (
+    SELECT qid, pid, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, pid) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+it AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT vec_id AS qid, v AS qvec, sqrt(list_dot_product(v, v)) AS nq
+       FROM it WHERE vec_id < 10),
+vs AS (
+  SELECT qv.qid, it.vec_id AS pid,
+         round(list_dot_product(it.v, qv.qvec)
+               / (sqrt(list_dot_product(it.v, it.v)) * qv.nq), 6) AS sim
+  FROM it CROSS JOIN qv WHERE it.vec_id <> qv.qid
+),
+vec AS (
+  SELECT qid, pid, sim AS score FROM (
+    SELECT qid, pid, sim,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, pid) AS rank
+    FROM vs
+  ) WHERE rank <= 10
+),
+nlex AS (
+  SELECT qid, pid,
+         CAST(0.7 AS DOUBLE) * CASE WHEN mx > mn
+           THEN (score - mn) / (mx - mn) ELSE 1.0 END AS c
+  FROM (SELECT qid, pid, score,
+               min(score) OVER (PARTITION BY qid) AS mn,
+               max(score) OVER (PARTITION BY qid) AS mx
+        FROM lex)
+),
+nvec AS (
+  SELECT qid, pid,
+         CAST(0.3 AS DOUBLE) * CASE WHEN mx > mn
+           THEN (score - mn) / (mx - mn) ELSE 1.0 END AS c
+  FROM (SELECT qid, pid, score,
+               min(score) OVER (PARTITION BY qid) AS mn,
+               max(score) OVER (PARTITION BY qid) AS mx
+        FROM vec)
+),
+uni AS (SELECT * FROM nlex UNION ALL SELECT * FROM nvec),
+fused AS (
+  SELECT qid, pid, round(sum(c), 6) AS fused_score
+  FROM uni GROUP BY qid, pid
+)
+SELECT qid, pid, rank, fused_score FROM (
+  SELECT qid, pid, fused_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY fused_score DESC, pid) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""

@@ -111,3 +111,62 @@ def time_decay_rerank(
         .filter(F.col("rank") <= k)
         .select("qid", "pid", "rank", "boosted_score")
     )
+
+
+def interp_fuse(
+    rankings: list[tuple[DataFrame, float]],
+    topk: int = 10,
+    qid_col: str = "qid",
+    pid_col: str = "pid",
+    score_col: str = "score",
+) -> DataFrame:
+    """Weighted-sum fusion with per-query min-max score normalization —
+    the other standard hybrid beside RRF (convex combination over
+    normalized scores; what most production hybrid search ships as
+    "alpha" blending).
+
+    Each system's scores are normalized per query over ITS returned
+    list: norm = (s − min)/(max − min), or 1.0 when the list's scores
+    are all equal (a constant list carries rank information only).
+    Candidates missing from a system contribute 0 for it. fused =
+    Σ w_i · norm_i, round-6 before the rank window, tiebreak
+    (-score, pid) — mirrored exactly by the DuckDB oracle.
+
+    Plan shape: per-system min/max is a window (or groupBy+join) over
+    that system's K·Q rows; the union + fold is one combinable agg.
+    Like rrf_fuse, cost scales with the fused lists, never the corpus.
+    """
+    if not rankings:
+        raise ValueError("interp_fuse needs at least one ranking")
+    parts = []
+    for r, weight in rankings:
+        mw = Window.partitionBy(qid_col)
+        norm = (
+            r.select(
+                F.col(qid_col).alias("qid"),
+                F.col(pid_col).alias("pid"),
+                F.col(score_col).cast("double").alias("_s"),
+            )
+            .withColumn("_mn", F.min("_s").over(mw))
+            .withColumn("_mx", F.max("_s").over(mw))
+            .select(
+                "qid", "pid",
+                (F.lit(float(weight)) * F.when(
+                    F.col("_mx") > F.col("_mn"),
+                    (F.col("_s") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn")),
+                ).otherwise(F.lit(1.0))).alias("_c"),
+            )
+        )
+        parts.append(norm)
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    agg = u.groupBy("qid", "pid").agg(
+        F.round(F.sum("_c"), 6).alias("fused_score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("fused_score"),
+                                          F.asc("pid"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "pid", F.col("rank").cast("long").alias("rank"),
+                "fused_score")
+    )

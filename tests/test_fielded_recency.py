@@ -84,3 +84,22 @@ def test_boilerplate_removal_hand_case(spark):
     assert out[2] == (3, 1, "unique two")
     # group g has one doc — below min_group_size, exempt from the vote
     assert out[3] == (2, 2, "banner\nonly doc in g keeps everything")
+
+
+def test_interp_fuse_hand_case(spark):
+    # system A: scores 10..8 for pids 1..3 ; system B: constant scores
+    # (falls back to norm 1.0) and covers pid 3 + a new pid 4
+    a = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 9.0), (0, 3, 8.0)],
+        "qid long, pid long, score double")
+    b = spark.createDataFrame(
+        [(0, 3, 5.0), (0, 4, 5.0)], "qid long, pid long, score double")
+    out = {r.pid: (r.rank, r.fused_score)
+           for r in fusion.interp_fuse([(a, 0.7), (b, 0.3)],
+                                       topk=10).collect()}
+    # norms A: 1→1.0, 2→0.5, 3→0.0 ; norms B (constant): 3→1.0, 4→1.0
+    assert out[1] == (1, 0.7)
+    assert out[2] == (2, 0.35)
+    assert out[3] == (3, 0.3)   # 0.7·0.0 + 0.3·1.0
+    assert out[4] == (4, 0.3)   # pid tiebreak puts 3 before 4
+    assert out[3][0] < out[4][0]
