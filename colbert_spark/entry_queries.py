@@ -4588,3 +4588,49 @@ SELECT qid, pid, rank, fused_score FROM (
   FROM fused
 ) WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# index build provenance: metadata.json global stats vs corpus-derived oracle
+# ---------------------------------------------------------------------------
+
+def q_index_provenance_stats(spark, sf_dir):
+    """Build provenance (I5): run the REAL Indexer, then read the
+    finalized metadata.json and return its global stats as a 1-row
+    DataFrame — the DuckDB oracle recomputes the same numbers straight
+    from the corpus, so any drift between what the build pipeline
+    records and what the data actually contains (doc counts, vocab,
+    postings, avg doclen) fails the hash. The reference finalizes the
+    same stats into its metadata (collection_indexer.py:484-497)."""
+    import hashlib
+    import json
+
+    from colbert_spark.plans.config import ColBERTConfig
+    from colbert_spark.plans.indexer import Indexer
+    from colbert_spark.sources.catalog import IndexCatalog
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    name = "entryq_prov_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
+                        index_name=name)
+    Indexer(cfg).index(name, docs, overwrite=True)
+    meta = json.loads(
+        IndexCatalog(cfg.index_path()).metadata_path.read_text())
+    row = [(int(meta["num_docs"]), float(meta["avg_doclen"]),
+            int(meta["num_terms"]), int(meta["num_postings"]))]
+    return spark.createDataFrame(
+        row, "num_docs long, avg_doclen double, num_terms long, "
+             "num_postings long"
+    ).select("num_docs", F.round("avg_doclen", 6).alias("avg_doclen"),
+             "num_terms", "num_postings")
+
+
+QUERIES["index_provenance_stats"] = q_index_provenance_stats
+
+ORACLE["index_provenance_stats"] = f"""
+WITH {_SQL_CORPUS_CTES}
+SELECT (SELECT count(*) FROM dl) AS num_docs,
+       (SELECT round(avg(doclen), 6) FROM dl) AS avg_doclen,
+       (SELECT count(*) FROM dfreq) AS num_terms,
+       (SELECT count(*) FROM tf) AS num_postings
+"""
