@@ -139,6 +139,45 @@ def main() -> None:
     timed("bm25_prf",
           lambda: entry_queries.q_bm25_prf_top10(spark, sf_dir).count())
 
+    # r5c: link-graph PageRank at corpus scale (every doc a page, two
+    # deterministic out-links → 2·N edges, 3 power iterations: one
+    # url-keyed shuffle + localCheckpoint per round), corpus-wide bigram
+    # PMI collocations (in-row bigram fold, two combinable count aggs),
+    # and fielded BM25F over the full corpus (title = first 5 tokens
+    # at weight 2, weighted-tf fold + shared length normalization)
+    from colbert_spark.operators import fielded, linkgraph
+    from colbert_spark.functions import analysis as _ana
+
+    def _bench_pagerank():
+        def _u(c):
+            return F.concat(F.lit("https://h"), (c % 97).cast("string"),
+                            F.lit(".com/p/"), c.cast("string"))
+        ids = all_docs.select("doc_id")
+        e1 = ids.select(_u(F.col("doc_id")).alias("src"),
+                        _u((F.col("doc_id") * 3 + 1) % n_docs).alias("dst"))
+        e2 = ids.select(_u(F.col("doc_id")).alias("src"),
+                        _u((F.col("doc_id") * 7 + 2) % n_docs).alias("dst"))
+        linkgraph.pagerank(e1.union(e2), iterations=3).count()
+
+    timed("link_pagerank_full", _bench_pagerank)
+    timed("collocations_pmi",
+          lambda: entry_queries.q_collocations_pmi(spark, sf_dir).count())
+
+    def _bench_bm25f():
+        toks = all_docs.select(F.col("doc_id").alias("pid"),
+                               _ana.tokens("text").alias("_t"))
+        title = toks.select(
+            "pid", F.lit("title").alias("field"),
+            F.array_join(F.slice("_t", 1, 5), " ").alias("text"))
+        body = toks.select(
+            "pid", F.lit("body").alias("field"),
+            F.array_join(F.expr("slice(_t, 6, greatest(size(_t) - 5, 0))"),
+                         " ").alias("text"))
+        fielded.bm25f_topk(title.unionByName(body), queries,
+                           {"title": 2.0, "body": 1.0}, k=10).count()
+
+    timed("bm25f_full", _bench_bm25f)
+
     # new in r2: rerank-over-candidates through the allow-list scatter path
     allow = searcher.search_all(queries, k=20).df.select("qid", "pid")
     allow_rows = allow.collect()
