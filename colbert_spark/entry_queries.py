@@ -4634,3 +4634,94 @@ SELECT (SELECT count(*) FROM dl) AS num_docs,
        (SELECT count(*) FROM dfreq) AS num_terms,
        (SELECT count(*) FROM tf) AS num_postings
 """
+
+
+# ---------------------------------------------------------------------------
+# SERP host crowding + significant terms (operators/diversify.py,
+# operators/facets.py)
+# ---------------------------------------------------------------------------
+
+def q_search_host_crowded(spark, sf_dir):
+    """Host-crowding diversification of the BM25 top-50: at most 2
+    results per host per query (host = example{pid % 7}.com), global
+    top-10 re-rank (operators/diversify.host_crowd)."""
+    from colbert_spark.operators import diversify
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    ranking = brute.bm25_topk(docs, _query_df(spark), k=50)
+    hosts = docs.select(
+        "pid",
+        F.concat(F.lit("example"), (F.col("pid") % 7).cast("string"),
+                 F.lit(".com")).alias("host"))
+    return diversify.host_crowd(ranking, hosts, max_per_host=2, k=10)
+
+
+QUERIES["search_host_crowded"] = q_search_host_crowded
+
+ORACLE["search_host_crowded"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+rk AS (SELECT qid, pid, score FROM ranked WHERE rank <= 50),
+h AS (
+  SELECT doc_id AS pid,
+         'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+  FROM documents
+),
+hj AS (
+  SELECT qid, rk.pid, score, host,
+         row_number() OVER (PARTITION BY qid, host
+                            ORDER BY score DESC, rk.pid) AS hr
+  FROM rk JOIN h ON rk.pid = h.pid
+),
+kept AS (SELECT qid, pid, score, host FROM hj WHERE hr <= 2),
+fin AS (
+  SELECT qid, pid, score, host,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, pid) AS rank
+  FROM kept
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score, host
+FROM fin WHERE rank <= 10
+"""
+
+
+def q_significant_terms(spark, sf_dir):
+    """ES-style significant-terms aggregation (JLH) over each query's
+    BM25 top-50 result set (operators/facets.significant_terms)."""
+    from colbert_spark.operators import facets
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    ranking = brute.bm25_topk(docs, _query_df(spark), k=50) \
+        .select("qid", "pid")
+    return facets.significant_terms(ranking, docs, k=10, min_fg_df=3)
+
+
+QUERIES["significant_terms"] = q_significant_terms
+
+ORACLE["significant_terms"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+rk AS (SELECT qid, pid FROM ranked WHERE rank <= 50),
+nn AS (SELECT CAST(count(DISTINCT pid) AS DOUBLE) AS n FROM tf),
+fgn AS (SELECT qid, count(*) AS fg_n FROM rk GROUP BY qid),
+fg AS (
+  SELECT qid, term, count(*) AS fg_df
+  FROM rk JOIN (SELECT DISTINCT pid, term FROM tf) t ON rk.pid = t.pid
+  GROUP BY qid, term HAVING count(*) >= 3
+),
+sig AS (
+  SELECT fg.qid, fg.term, fg.fg_df,
+         round(((fg.fg_df / fgn.fg_n) - (dfreq.df / nn.n))
+               * ((fg.fg_df / fgn.fg_n) / (dfreq.df / nn.n)), 6) AS jlh
+  FROM fg
+  JOIN dfreq USING (term)
+  JOIN fgn ON fg.qid = fgn.qid
+  CROSS JOIN nn
+),
+fin AS (
+  SELECT qid, term, fg_df, jlh,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY jlh DESC, term) AS r
+  FROM sig
+)
+SELECT qid, term, CAST(fg_df AS BIGINT) AS fg_df, jlh
+FROM fin WHERE r <= 10
+"""

@@ -99,3 +99,39 @@ def test_bigram_collocations_matches_python_replay(spark):
     caching.drain()
     assert got == _pmi_py(texts, 2, 10)
     assert any(b == "new york" for b, _, _ in got)
+
+
+def test_host_crowd_caps_and_reranks(spark):
+    from colbert_spark.operators.diversify import host_crowd
+
+    ranking = spark.createDataFrame(
+        [(0, p, 10.0 - p) for p in range(6)],
+        "qid long, pid long, score double")
+    hosts = spark.createDataFrame(
+        [(p, "a" if p < 4 else "b") for p in range(6)],
+        "pid long, host string")
+    out = [(r.rank, r.pid, r.host) for r in sorted(
+        host_crowd(ranking, hosts, max_per_host=2, k=10).collect(),
+        key=lambda r: r.rank)]
+    # host a holds pids 0-3 (best scores) but only 0,1 survive crowding
+    assert out == [(1, 0, "a"), (2, 1, "a"), (3, 4, "b"), (4, 5, "b")]
+
+
+def test_significant_terms_prefers_overrepresented(spark):
+    from colbert_spark.operators import facets
+
+    # corpus: 'rare' only in docs 0-2; 'common' everywhere
+    docs = spark.createDataFrame(
+        [(p, ("rare common" if p < 3 else "common filler")) for p in range(20)],
+        "pid long, text string")
+    ranking = spark.createDataFrame(
+        [(0, p) for p in range(3)], "qid long, pid long")
+    out = [(r.term, r.fg_df, r.jlh) for r in sorted(
+        facets.significant_terms(ranking, docs, k=5, min_fg_df=2).collect(),
+        key=lambda r: -r.jlh)]
+    terms = [t for t, _, _ in out]
+    # 'rare': fgp=1.0 vs bgp=0.15 → huge JLH; 'common': fgp=1.0 bgp=1.0 → 0
+    assert terms[0] == "rare"
+    jlh_rare = round((1.0 - 3 / 20.0) * (1.0 / (3 / 20.0)), 6)
+    assert out[0][2] == pytest.approx(jlh_rare, abs=1e-9)
+    assert dict((t, j) for t, _, j in out)["common"] == 0.0
