@@ -4725,3 +4725,69 @@ fin AS (
 SELECT qid, term, CAST(fg_df AS BIGINT) AS fg_df, jlh
 FROM fin WHERE r <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# graded-relevance nDCG@10 (operators/metrics.ndcg_at_k)
+# ---------------------------------------------------------------------------
+
+def q_eval_ndcg10(spark, sf_dir):
+    """nDCG@10 of BM25 vs graded tf-top3 pseudo-qrels (rel 3/2/1 for the
+    per-query tf-sum top-3 docs — built identically in the oracle)."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    token_df = analysis.tokenize_docs(docs, id_col="pid", text_col="text",
+                                      maxlen=220)
+    qterms = brute.query_terms(_query_df(spark), 32)
+    tfsum = (
+        token_df.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "pid")
+        .agg(F.sum("tf").alias("tfs"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("tfs"), F.asc("pid"))
+    qrels = (
+        tfsum.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .select("qid", "pid", (F.lit(4) - F.col("r")).alias("rel"))
+    )
+    ranking = q_bm25_top10(spark, sf_dir)
+    return metrics.ndcg_at_k(ranking, qrels, k=10)
+
+
+QUERIES["eval_ndcg10"] = q_eval_ndcg10
+
+ORACLE["eval_ndcg10"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+tfsum AS (
+  SELECT qt.qid, tf.pid, sum(tf.tf) AS tfs
+  FROM qt JOIN tf USING (term) GROUP BY qt.qid, tf.pid
+),
+qrels AS (
+  SELECT qid, pid, 4 - r AS rel FROM (
+    SELECT qid, pid,
+           row_number() OVER (PARTITION BY qid ORDER BY tfs DESC, pid) AS r
+    FROM tfsum
+  ) WHERE r <= 3
+),
+hits AS (
+  SELECT ranked.qid,
+         sum(((1 << CAST(qrels.rel AS INTEGER)) - 1)
+             / log2(ranked.rank + 1.0)) AS dcg
+  FROM ranked JOIN qrels
+    ON ranked.qid = qrels.qid AND ranked.pid = qrels.pid
+  WHERE ranked.rank <= 10
+  GROUP BY ranked.qid
+),
+ideal AS (
+  SELECT qid,
+         sum(((1 << CAST(rel AS INTEGER)) - 1) / log2(ir + 1.0)) AS idcg
+  FROM (
+    SELECT qid, rel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, pid) AS ir
+    FROM qrels
+  ) WHERE ir <= 10
+  GROUP BY qid
+)
+SELECT round(avg(coalesce(hits.dcg, 0.0) / ideal.idcg), 6) AS ndcg
+FROM ideal LEFT JOIN hits USING (qid)
+"""

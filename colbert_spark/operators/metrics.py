@@ -9,7 +9,7 @@ from the denominator (msmarco_passages.py averages over qrels keys).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def _joined(ranking: DataFrame, qrels: DataFrame) -> DataFrame:
@@ -90,3 +90,41 @@ def eval_summary(ranking: DataFrame, qrels: DataFrame,
                 "success", f"success_{k}")
         )
     return out
+
+
+def ndcg_at_k(ranking: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """One row (ndcg double): mean over qrel-queries of nDCG@k with
+    graded relevance (Järvelin & Kekäläinen 2002; the metric TREC/BEIR
+    report beside MRR) — the reference's eval surface is binary
+    (utility/evaluate/msmarco_passages.py), so this extends it.
+
+        DCG@k  = Σ_{hits in top-k} (2^rel − 1) / log2(rank + 1)
+        IDCG@k = the same sum over the query's relevant docs in ideal
+                 order (rel desc, pid asc), positions 1..k
+        ndcg   = mean over queries of DCG/IDCG, round 6
+
+    qrels carries (qid, pid, rel); rel are small non-negative ints —
+    gains use exact integer 2^rel − 1 (shiftleft), no pow() drift.
+    Queries with no ranked hit contribute 0. Plan: K·Q-sized joins and
+    per-qid windows only.
+    """
+    # python F.shiftleft only takes a literal shift — use the SQL form,
+    # which accepts a column exponent
+    gain = F.expr("cast(shiftleft(1, cast(rel as int)) - 1 as double)")
+    hits = (
+        ranking.filter(F.col("rank") <= k)
+        .join(qrels.select("qid", "pid", "rel"), ["qid", "pid"])
+        .groupBy("qid")
+        .agg(F.sum(gain / F.log2(F.col("rank") + F.lit(1.0))).alias("dcg"))
+    )
+    iw = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("pid"))
+    ideal = (
+        qrels.withColumn("_ir", F.row_number().over(iw))
+        .filter(F.col("_ir") <= k)
+        .groupBy("qid")
+        .agg(F.sum(gain / F.log2(F.col("_ir") + F.lit(1.0))).alias("idcg"))
+    )
+    per_q = ideal.join(hits, "qid", "left").select(
+        "qid",
+        (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias("n"))
+    return per_q.agg(F.round(F.avg("n"), 6).alias("ndcg"))

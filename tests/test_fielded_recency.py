@@ -103,3 +103,21 @@ def test_interp_fuse_hand_case(spark):
     assert out[3] == (3, 0.3)   # 0.7·0.0 + 0.3·1.0
     assert out[4] == (4, 0.3)   # pid tiebreak puts 3 before 4
     assert out[3][0] < out[4][0]
+
+
+def test_ndcg_at_k_hand_case(spark):
+    from colbert_spark.operators import metrics
+
+    # q0: rel-3 doc at rank 2, rel-1 doc at rank 1, rel-2 doc unranked
+    ranking = spark.createDataFrame(
+        [(0, 100, 1, 9.0), (0, 200, 2, 8.0), (1, 300, 1, 5.0)],
+        "qid long, pid long, rank long, score double")
+    qrels = spark.createDataFrame(
+        [(0, 200, 3), (0, 100, 1), (0, 400, 2),
+         (2, 500, 3)],                       # q2 never ranked → ndcg 0
+        "qid long, pid long, rel long")
+    got = metrics.ndcg_at_k(ranking, qrels, k=10).collect()[0]["ndcg"]
+    dcg0 = 1.0 / math.log2(2.0) + 7.0 / math.log2(3.0)
+    idcg0 = 7.0 / math.log2(2.0) + 3.0 / math.log2(3.0) + 1.0 / math.log2(4.0)
+    want = round((dcg0 / idcg0 + 0.0) / 2.0, 6)
+    assert got == pytest.approx(want, abs=1e-9)
