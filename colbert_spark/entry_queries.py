@@ -4791,3 +4791,84 @@ ideal AS (
 SELECT round(avg(coalesce(hits.dcg, 0.0) / ideal.idcg), 6) AS ndcg
 FROM ideal LEFT JOIN hits USING (qid)
 """
+
+
+# ---------------------------------------------------------------------------
+# events burst detection + crawl snapshot delta (operators/trending.py,
+# operators/webcrawl.py)
+# ---------------------------------------------------------------------------
+
+def q_events_burst(spark, sf_dir):
+    """Trending detection over the events stream: per (event_type, 1-hour
+    window) count z-scored against the type's 6-window trailing baseline
+    (operators/trending.window_burst_scores)."""
+    from colbert_spark.operators import trending
+
+    ev = _t(spark, sf_dir, "events")
+    return trending.window_burst_scores(ev, window_seconds=3600,
+                                        trail=6, min_trail=3)
+
+
+QUERIES["events_burst"] = q_events_burst
+
+ORACLE["events_burst"] = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS win_start,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, win_start, CAST(n AS BIGINT) AS n,
+         avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sd,
+         count(n) OVER w AS nt
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY win_start
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, win_start, n,
+       CASE WHEN nt >= 3 AND sd > 0
+            THEN round((n - mu) / sd, 6) END AS z
+FROM s
+"""
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Incremental-crawl snapshot diff (webcrawl.crawl_delta): old =
+    pages 0-449, new = pages 50-499 with every 10th page's text changed
+    — statuses added/removed/changed/unchanged via md5 fingerprints,
+    synthesized identically in the oracle."""
+    from colbert_spark.operators.webcrawl import crawl_delta
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    url = _page_url_expr().alias("url")
+    old = d.filter(F.col("doc_id") < 450).select(url, "text")
+    new = d.filter(F.col("doc_id") >= 50).select(
+        url,
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text")).alias("text"))
+    return crawl_delta(old, new)
+
+
+QUERIES["crawl_delta"] = q_crawl_delta
+
+ORACLE["crawl_delta"] = f"""
+WITH o AS (
+  SELECT {_PAGE_URL_SQL} AS url, md5(text) AS ho
+  FROM documents WHERE doc_id < 450
+),
+n AS (
+  SELECT {_PAGE_URL_SQL} AS url,
+         md5(CASE WHEN doc_id % 10 = 0 THEN text || ' updated'
+                  ELSE text END) AS hn
+  FROM documents WHERE doc_id >= 50 AND doc_id < 500
+)
+SELECT coalesce(o.url, n.url) AS url,
+       CASE WHEN o.ho IS NULL THEN 'added'
+            WHEN n.hn IS NULL THEN 'removed'
+            WHEN o.ho = n.hn THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.url = n.url
+"""

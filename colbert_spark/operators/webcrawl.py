@@ -141,3 +141,34 @@ def host_budget_cap(
         .filter(F.col("_rn") <= max_per_host)
         .drop("_rn")
     )
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two crawls of the same corpus:
+    (url, status) with status ∈ added | removed | changed | unchanged —
+    the incremental-crawl planner's input (what to re-fetch, what to
+    tombstone; pairs with IndexUpdater remove/add for incremental index
+    maintenance).
+
+    Comparison is by md5 text fingerprint, so the join carries
+    (url, 16-byte hash) — never the page text. One full-outer hash join
+    on uniform url keys; at 10^12 pages this is the minimal shuffle any
+    snapshot diff needs.
+    """
+    o = old.select(F.col(url_col).alias("url"),
+                   F.md5(F.col(text_col)).alias("_ho"))
+    n = new.select(F.col(url_col).alias("url"),
+                   F.md5(F.col(text_col)).alias("_hn"))
+    j = o.join(n, "url", "full_outer")
+    return j.select(
+        "url",
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed")).alias("status"),
+    )

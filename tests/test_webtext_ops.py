@@ -135,3 +135,59 @@ def test_significant_terms_prefers_overrepresented(spark):
     jlh_rare = round((1.0 - 3 / 20.0) * (1.0 / (3 / 20.0)), 6)
     assert out[0][2] == pytest.approx(jlh_rare, abs=1e-9)
     assert dict((t, j) for t, _, j in out)["common"] == 0.0
+
+
+def test_window_burst_scores_hand_case(spark):
+    import datetime as dt
+    from colbert_spark.operators.trending import window_burst_scores
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # type 'a': 7 hourly windows with 2 events each, then a burst of 10
+    for h in range(7):
+        for i in range(2):
+            rows.append((base + dt.timedelta(hours=h, minutes=i), "a"))
+    for i in range(10):
+        rows.append((base + dt.timedelta(hours=7, minutes=i), "a"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r.win_start: (r.n, r.z)
+           for r in window_burst_scores(df, 3600, trail=6,
+                                        min_trail=3).collect()}
+    ws = sorted(out)
+    # first 3 windows: too little trailing history → NULL z
+    assert out[ws[0]][1] is None and out[ws[2]][1] is None
+    # constant-count windows → zero variance → NULL z
+    assert out[ws[4]][1] is None
+    # the burst window: trailing 6 windows all n=2 → sd=0 → NULL too!
+    assert out[ws[7]][0] == 10 and out[ws[7]][1] is None
+    # now add jitter so variance exists: type 'b' counts 1..6 then burst
+    rows_b = []
+    for h in range(6):
+        for i in range(h + 1):
+            rows_b.append((base + dt.timedelta(hours=h, minutes=i), "b"))
+    for i in range(30):
+        rows_b.append((base + dt.timedelta(hours=6, minutes=i), "b"))
+    dfb = spark.createDataFrame(rows_b, "ts timestamp, event_type string")
+    outb = {r.win_start: (r.n, r.z)
+            for r in window_burst_scores(dfb, 3600, trail=6,
+                                         min_trail=3).collect()}
+    import statistics
+    trail_counts = [1, 2, 3, 4, 5, 6]
+    want = round((30 - statistics.mean(trail_counts))
+                 / statistics.stdev(trail_counts), 6)
+    burst_w = sorted(outb)[-1]
+    assert outb[burst_w] == (30, pytest.approx(want, abs=1e-9))
+
+
+def test_crawl_delta_statuses(spark):
+    from colbert_spark.operators.webcrawl import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "will change"), ("u3", "gone")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "changed!"), ("u4", "fresh")],
+        "url string, text string")
+    got = {r.url: r.status for r in crawl_delta(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed",
+                   "u3": "removed", "u4": "added"}
