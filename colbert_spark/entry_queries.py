@@ -4872,3 +4872,43 @@ SELECT coalesce(o.url, n.url) AS url,
             ELSE 'changed' END AS status
 FROM o FULL OUTER JOIN n ON o.url = n.url
 """
+
+
+# ---------------------------------------------------------------------------
+# robots disallow enforcement (webcrawl.robots_filter)
+# ---------------------------------------------------------------------------
+
+def q_robots_filter(spark, sf_dir):
+    """Robots disallow gate over the page-url fixture: example0.com
+    disallows everything under /page/1 (so /page/1, /page/10-19,
+    /page/100-199 on that host drop); example1.com disallows all paths.
+    Survivors keep (url, doc_id)."""
+    from colbert_spark.operators.webcrawl import robots_filter
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    pages = d.select(_page_url_expr().alias("url"), "doc_id")
+    rules = spark.createDataFrame(
+        [("example0.com", "/page/1"), ("EXAMPLE1.com", "/")],
+        "host string, path_prefix string")
+    return robots_filter(pages, rules).select("url", "doc_id")
+
+
+QUERIES["robots_filter"] = q_robots_filter
+
+ORACLE["robots_filter"] = f"""
+WITH p AS (
+  SELECT {_PAGE_URL_SQL} AS url, doc_id
+  FROM documents WHERE doc_id < 500
+),
+t AS (
+  SELECT url, doc_id,
+         lower(regexp_extract(url, '{_SQL_URL_RE}', 2)) AS host,
+         regexp_extract(url, '{_SQL_URL_RE}', 4) AS path
+  FROM p
+),
+r(host, pp) AS (VALUES ('example0.com', '/page/1'), ('example1.com', '/'))
+SELECT url, doc_id FROM t
+WHERE NOT EXISTS (
+  SELECT 1 FROM r WHERE r.host = t.host AND starts_with(t.path, r.pp)
+)
+"""

@@ -172,3 +172,38 @@ def crawl_delta(
         .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
         .otherwise(F.lit("changed")).alias("status"),
     )
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop pages whose path falls under a disallowed prefix for their
+    host — the crawl-side robots.txt gate, reduced to its data-plane
+    form: rules(host, path_prefix) = pre-parsed `Disallow:` lines
+    (parsing robots.txt itself is fetch-time work; this operator is the
+    corpus-wide enforcement pass a recrawl/compliance audit runs).
+
+    Match contract (oracle-replayed): host = lowercased url host; a page
+    is dropped when ANY rule for its host is a prefix of its raw path
+    ('' disallows everything for that host, the robots `Disallow: /`
+    case is path_prefix '/'). Keeps every input column.
+
+    Plan shape: the rules table is the broadcast side (robots rules are
+    tiny relative to any corpus — one row per disallow line); the match
+    is a broadcast left-semi prefix join evaluated in codegen; pages
+    never shuffle.
+    """
+    host = F.lower(F.regexp_extract(F.col(url_col), _URL_RE, 2))
+    path = F.regexp_extract(F.col(url_col), _URL_RE, 4)
+    tagged = pages.select("*", host.alias("_host"), path.alias("_path"))
+    r = rules.select(F.lower(F.col("host")).alias("_rhost"),
+                     F.col("path_prefix").alias("_pp"))
+    kept = tagged.join(
+        F.broadcast(r),
+        (F.col("_host") == F.col("_rhost"))
+        & F.col("_path").startswith(F.col("_pp")),
+        "left_anti",
+    )
+    return kept.drop("_host", "_path")

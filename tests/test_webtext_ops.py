@@ -191,3 +191,18 @@ def test_crawl_delta_statuses(spark):
     got = {r.url: r.status for r in crawl_delta(old, new).collect()}
     assert got == {"u1": "unchanged", "u2": "changed",
                    "u3": "removed", "u4": "added"}
+
+
+def test_robots_filter_prefix_and_case(spark):
+    from colbert_spark.operators.webcrawl import robots_filter
+
+    pages = spark.createDataFrame(
+        [("https://A.com/private/x", 1), ("https://a.com/public", 2),
+         ("https://b.com/private/x", 3), ("https://c.com/anything", 4)],
+        "url string, doc_id long")
+    rules = spark.createDataFrame(
+        [("a.com", "/private"), ("C.COM", "/")],
+        "host string, path_prefix string")
+    kept = {r.doc_id for r in robots_filter(pages, rules).collect()}
+    # host match is case-insensitive both sides; b.com has no rules
+    assert kept == {2, 3}
