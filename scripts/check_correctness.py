@@ -99,6 +99,11 @@ def main():
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
             continue
+        finally:
+            # operators pin MEMORY_AND_DISK caches via caching.register;
+            # release them so 90+ entries don't accumulate resident caches
+            from colbert_spark import caching as _caching
+            _caching.drain()
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(srows)} rows)")
             continue
