@@ -4912,3 +4912,42 @@ WHERE NOT EXISTS (
   SELECT 1 FROM r WHERE r.host = t.host AND starts_with(t.path, r.pp)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 explain: per-term score breakdown (operators/brute.bm25_explain)
+# ---------------------------------------------------------------------------
+
+def q_search_explain(spark, sf_dir):
+    """Lucene-explain analog: per-term (tf, df, idf, term_score)
+    breakdown for every (query, top-10 doc) pair, total repeated per
+    row group."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    return brute.bm25_explain(docs, _query_df(spark), k=10)
+
+
+QUERIES["search_explain"] = q_search_explain
+
+ORACLE["search_explain"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+rk AS (SELECT qid, pid, rank, score FROM ranked WHERE rank <= 10),
+contrib AS (
+  SELECT qt.qid, tf.pid, qt.term, CAST(tf.tf AS BIGINT) AS tf,
+         CAST(dfreq.df AS BIGINT) AS df,
+         round(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0), 6)
+           AS idf,
+         round(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl)), 6)
+           AS term_score
+  FROM qt
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+)
+SELECT rk.qid, rk.pid, CAST(rk.rank AS BIGINT) AS rank, contrib.term,
+       contrib.tf, contrib.df, contrib.idf, contrib.term_score, rk.score
+FROM rk JOIN contrib ON rk.qid = contrib.qid AND rk.pid = contrib.pid
+"""

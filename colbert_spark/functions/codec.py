@@ -93,3 +93,71 @@ def encode_tfs(tfs: np.ndarray) -> bytes:
 
 def decode_tfs(data: bytes) -> np.ndarray:
     return varint_decode(data).astype(np.int64)
+
+
+# --- fixed-width bit-packing (FOR) — the SIMD-friendly alternative ------
+
+def bitpack_encode(values: np.ndarray) -> bytes:
+    """Frame-of-reference bit-packing: every value stored in exactly
+    `width` bits, width = bitlength(max(values)) — the Lemire
+    FastPFOR/Lucene `PackedInts` family's base layout, which trades
+    varint's per-value byte granularity for constant-width lanes a
+    vectorized decoder can unpack without data-dependent branches.
+
+    Trade-off (measured, test_codec.py): flat FOR wins big on dense
+    lists (head-term gaps 1-4 → 2-3 bits/value vs varint's 8) and loses
+    on tailed gap distributions, where one outlier widens every lane —
+    the failure PFOR patches with exceptions. The index keeps varint as
+    its default payload codec; this is the SIMD-friendly alternative for
+    head-term blocks.
+
+    Header: 1 byte width (0-64), 8 bytes count (LE). width 0 encodes an
+    all-zeros run in the header alone. Pure numpy (bit scatter via
+    unpackbits-style shifts), exact inverse of bitpack_decode.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return bytes([0]) + (0).to_bytes(8, "little")
+    width = int(v.max()).bit_length()
+    head = bytes([width]) + n.to_bytes(8, "little")
+    if width == 0:
+        return head
+    # bit matrix: n rows × width bits (LSB first), then flatten → bytes
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    flat = bits.reshape(-1)
+    pad = (-flat.size) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
+    packed = np.packbits(flat.reshape(-1, 8), axis=1, bitorder="little")
+    return head + packed.tobytes()
+
+
+def bitpack_decode(data: bytes) -> np.ndarray:
+    """Inverse of bitpack_encode → uint64 array."""
+    width = data[0]
+    n = int.from_bytes(data[1:9], "little")
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    buf = np.frombuffer(data, dtype=np.uint8, offset=9)
+    flat = np.unpackbits(buf, bitorder="little")[: n * width]
+    bits = flat.reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def encode_pids_packed(pids: np.ndarray) -> bytes:
+    """Delta-gap + bit-pack pid codec (FOR over the gaps)."""
+    p = np.asarray(pids, dtype=np.uint64)
+    if p.size == 0:
+        return bitpack_encode(p)
+    gaps = np.concatenate(([p[0]], np.diff(p)))
+    return bitpack_encode(gaps)
+
+
+def decode_pids_packed(data: bytes) -> np.ndarray:
+    g = bitpack_decode(data)
+    return np.cumsum(g, dtype=np.uint64)

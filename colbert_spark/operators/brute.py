@@ -130,3 +130,57 @@ def bm25_topk(
     )
     caching.register(token_df, "bm25_topk")
     return out
+
+
+def bm25_explain(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "pid",
+    text_col: str = "text",
+    doc_maxlen: int | None = 220,
+    query_maxlen: int | None = 32,
+) -> DataFrame:
+    """Lucene-explain analog: the per-term score breakdown for every
+    (query, top-k doc) pair → (qid, pid, rank, term, tf, df, idf,
+    term_score, score). `score` repeats the document's total so a user
+    can read "why did this doc rank" in one row group; idf/term_score
+    round-6 (the repo rule). The reference exposes no per-term
+    diagnostics at all (scores leave colbert/modeling/colbert.py:95-115
+    pre-summed); this is the operational debugging surface every
+    production engine ships.
+
+    Plan: the bm25_topk funnel once for the ranking, then ONE extra
+    broadcast join of the (K·Q-sized) ranking against the scored term
+    rows — the corpus-sized token table is shared (persisted) between
+    the two passes.
+    """
+    token_df = analysis.tokenize_docs(docs, id_col=id_col, text_col=text_col,
+                                      maxlen=doc_maxlen).persist()
+    caching.register(token_df, "bm25_explain")
+    n, avgdl = corpus_stats(token_df)
+    tstats = term_stats(token_df)
+    qterms = query_terms(queries, query_maxlen)
+    qt = qterms.join(tstats, "term").select(
+        "qid", "term", "df", bm25.idf(F.col("df"), n).alias("idf"))
+
+    contrib = token_df.withColumnRenamed(id_col, "pid").join(
+        F.broadcast(qt), "term"
+    ).select(
+        "qid", "pid", "term", "tf", "df",
+        F.round(F.col("idf"), 6).alias("idf"),
+        F.round(bm25.term_score(F.col("tf"), F.col("doclen"), avgdl,
+                                F.col("idf")), 6).alias("term_score"),
+        bm25.term_score(F.col("tf"), F.col("doclen"), avgdl,
+                        F.col("idf")).alias("_s"),
+    )
+    agg = contrib.groupBy("qid", "pid").agg(
+        F.round(F.sum("_s"), bm25.SCORE_DECIMALS).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+    ranked = (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.join(contrib.drop("_s"), ["qid", "pid"]).select(
+        "qid", "pid", F.col("rank").cast("long").alias("rank"),
+        "term", "tf", "df", "idf", "term_score", "score")

@@ -60,3 +60,55 @@ def test_compression_wins_on_dense_lists():
     pids = np.arange(0, 100_000, 3, dtype=np.int64)
     enc = encode_pids(pids)
     assert len(enc) < pids.nbytes / 7
+
+
+# --- fixed-width bit-packing (FOR) ---------------------------------------
+
+from colbert_spark.functions.codec import (  # noqa: E402
+    bitpack_decode,
+    bitpack_encode,
+    decode_pids_packed,
+    encode_pids_packed,
+)
+
+
+def test_bitpack_roundtrip_basic():
+    vals = np.array([0, 1, 127, 128, 300, 2**32, 2**63, 2**64 - 1],
+                    dtype=np.uint64)
+    assert np.array_equal(bitpack_decode(bitpack_encode(vals)), vals)
+
+
+def test_bitpack_empty_and_zero_width():
+    assert bitpack_decode(bitpack_encode(np.array([], dtype=np.uint64))).size == 0
+    z = np.zeros(33, dtype=np.uint64)
+    enc = bitpack_encode(z)
+    assert len(enc) == 9                       # header-only all-zero run
+    assert np.array_equal(bitpack_decode(enc), z)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_bitpack_roundtrip_property(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    assert np.array_equal(bitpack_decode(bitpack_encode(arr)), arr)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**40), min_size=1,
+               max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_pid_packed_roundtrip(pids):
+    arr = np.array(sorted(pids), dtype=np.uint64)
+    assert np.array_equal(decode_pids_packed(encode_pids_packed(arr)), arr)
+
+
+def test_bitpack_beats_varint_on_dense_lists():
+    """FOR's win case — dense head-term lists (gaps 1-4, exactly the
+    lists that dominate decode time): ~2-3 bits/value vs varint's fixed
+    8. On tailed gap distributions flat FOR loses (one outlier widens
+    every lane — the reason PFOR patches exceptions); the codec docstring
+    records the trade-off."""
+    rng = np.random.default_rng(3)
+    gaps = rng.integers(1, 5, 20_000).astype(np.uint64)
+    pids = np.cumsum(gaps, dtype=np.uint64)
+    packed, vb = len(encode_pids_packed(pids)), len(encode_pids(pids))
+    assert packed < vb / 2
