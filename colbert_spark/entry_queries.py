@@ -4951,3 +4951,50 @@ SELECT rk.qid, rk.pid, CAST(rk.rank AS BIGINT) AS rank, contrib.term,
        contrib.tf, contrib.df, contrib.idf, contrib.term_score, rk.score
 FROM rk JOIN contrib ON rk.qid = contrib.qid AND rk.pid = contrib.pid
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary drift between snapshots (textstats.vocab_delta)
+# ---------------------------------------------------------------------------
+
+def q_vocab_delta(spark, sf_dir):
+    """df drift between two synthetic crawl snapshots: old = docs
+    0-399, new = docs 100-499 with ' driftterm' appended to every 4th
+    doc — the monitoring signal for topic bursts / extraction
+    regressions."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    old = d.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(" driftterm")))
+        .otherwise(F.col("text")).alias("text"))
+    return textstats.vocab_delta(old, new, k=50)
+
+
+QUERIES["vocab_delta"] = q_vocab_delta
+
+ORACLE["vocab_delta"] = f"""
+WITH o AS (
+  SELECT term, count(*) AS df_old FROM (
+    SELECT DISTINCT doc_id, unnest({_sql_tokens('text', 220)}) AS term
+    FROM documents WHERE doc_id < 400
+  ) GROUP BY term
+),
+n AS (
+  SELECT term, count(*) AS df_new FROM (
+    SELECT DISTINCT doc_id,
+           unnest({_sql_tokens("CASE WHEN doc_id % 4 = 0 THEN text || ' driftterm' ELSE text END", 220)}) AS term
+    FROM documents WHERE doc_id >= 100 AND doc_id < 500
+  ) GROUP BY term
+),
+j AS (
+  SELECT coalesce(o.term, n.term) AS term,
+         CAST(coalesce(df_old, 0) AS BIGINT) AS df_old,
+         CAST(coalesce(df_new, 0) AS BIGINT) AS df_new
+  FROM o FULL OUTER JOIN n ON o.term = n.term
+)
+SELECT term, df_old, df_new,
+       CAST(df_new - df_old AS BIGINT) AS delta
+FROM j ORDER BY abs(df_new - df_old) DESC, term LIMIT 50
+"""

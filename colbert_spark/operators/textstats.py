@@ -502,3 +502,39 @@ def bigram_collocations(
     # global top-k as sort+limit → TakeOrderedAndProject (per-partition
     # heaps + driver merge of k rows), never a single-partition window
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
+
+
+def vocab_delta(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    maxlen: int | None = 220,
+) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots: per term the
+    document frequency in each and the shift → (term, df_old, df_new,
+    delta), top-k by (|delta| desc, term asc). The monitoring signal a
+    crawl pipeline alarms on (topic burst, spam flood, extraction
+    regression all show up as df drift before anything else does).
+
+    Plan: two dictionary builds (combinable term aggs), one full-outer
+    term join on uniform keys, TakeOrdered top-k. Nothing corpus-sized
+    beyond the dictionary aggs themselves.
+    """
+    def _df(docs, out):
+        toks = docs.select(F.col(id_col),
+                           analysis.tokens(text_col, maxlen).alias("_t"))
+        return (
+            toks.select(F.explode(F.array_distinct("_t")).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias(out))
+        )
+
+    j = _df(old_docs, "df_old").join(_df(new_docs, "df_new"),
+                                     "term", "full_outer")
+    out = j.select(
+        "term",
+        F.coalesce(F.col("df_old"), F.lit(0)).cast("long").alias("df_old"),
+        F.coalesce(F.col("df_new"), F.lit(0)).cast("long").alias("df_new"),
+    ).withColumn("delta", (F.col("df_new") - F.col("df_old")).cast("long"))
+    return out.orderBy(F.abs(F.col("delta")).desc(), F.asc("term")).limit(k)

@@ -206,3 +206,18 @@ def test_robots_filter_prefix_and_case(spark):
     kept = {r.doc_id for r in robots_filter(pages, rules).collect()}
     # host match is case-insensitive both sides; b.com has no rules
     assert kept == {2, 3}
+
+
+def test_vocab_delta_hand_case(spark):
+    old = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gone gone")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(0, "alpha beta fresh"), (1, "alpha fresh")],
+        "doc_id long, text string")
+    out = {r.term: (r.df_old, r.df_new, r.delta)
+           for r in textstats.vocab_delta(old, new, k=10).collect()}
+    # df is per-document (distinct), not occurrences
+    assert out["fresh"] == (0, 2, 2)
+    assert out["gone"] == (0 + 1, 0, -1)
+    assert out["alpha"] == (2, 2, 0)
