@@ -4998,3 +4998,41 @@ SELECT term, df_old, df_new,
        CAST(df_new - df_old AS BIGINT) AS delta
 FROM j ORDER BY abs(df_new - df_old) DESC, term LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction (textstats.extract_keywords)
+# ---------------------------------------------------------------------------
+
+def q_keyword_extract(spark, sf_dir):
+    """Top-5 tf·ln(N/df) keywords per document (docs 0-199) — the
+    more-like-this / cluster-labeling feed."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return textstats.extract_keywords(d, k=5)
+
+
+QUERIES["keyword_extract"] = q_keyword_extract
+
+ORACLE["keyword_extract"] = f"""
+WITH dd AS (
+  SELECT doc_id, {_sql_tokens('text', 220)} AS t
+  FROM documents WHERE doc_id < 200
+),
+tok AS (SELECT doc_id, unnest(t) AS term FROM dd),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf2),
+dfreq2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+scored AS (
+  SELECT tf2.doc_id, tf2.term, CAST(tf2.tf AS BIGINT) AS tf,
+         round(tf2.tf * ln(nn.n / dfreq2.df), 6) AS score
+  FROM tf2 JOIN dfreq2 USING (term) CROSS JOIN nn
+),
+rk AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS kw_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, CAST(kw_rank AS BIGINT) AS kw_rank
+FROM rk WHERE kw_rank <= 5
+"""

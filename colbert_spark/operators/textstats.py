@@ -538,3 +538,48 @@ def vocab_delta(
         F.coalesce(F.col("df_new"), F.lit(0)).cast("long").alias("df_new"),
     ).withColumn("delta", (F.col("df_new") - F.col("df_old")).cast("long"))
     return out.orderBy(F.abs(F.col("delta")).desc(), F.asc("term")).limit(k)
+
+
+def extract_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    maxlen: int | None = 220,
+) -> DataFrame:
+    """Per-document tf-idf keyword extraction → (id, term, tf, score,
+    kw_rank): each doc's top-k most characteristic terms by
+    tf · ln(N/df) (the classic tf-idf keywording; feeds more-like-this
+    queries, tag clouds, and cluster labeling). score round-6, rank by
+    (score desc, term asc).
+
+    Plan: ONE tokenize pass (persisted, caching-registered) feeds both
+    the dictionary agg and the per-doc rank; the idf join is unhinted on
+    uniform term keys (AQE broadcasts small vocabs); the top-k window
+    partitions by doc id — uniform, bounded by the doc's distinct terms.
+    """
+    from .. import caching
+
+    token_df = analysis.tokenize_docs(
+        docs, id_col=id_col, text_col=text_col, maxlen=maxlen
+    ).persist()
+    caching.register(token_df, "extract_keywords")
+    n = token_df.select(id_col).distinct().count()
+    if n == 0:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, term string, tf long, score double, "
+                "kw_rank long")
+    dfreq = token_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = token_df.join(dfreq, "term").select(
+        id_col, "term", F.col("tf").cast("long").alias("tf"),
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6)
+        .alias("score"),
+    )
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= k)
+        .select(id_col, "term", "tf", "score",
+                F.col("kw_rank").cast("long").alias("kw_rank"))
+    )

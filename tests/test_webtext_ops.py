@@ -221,3 +221,16 @@ def test_vocab_delta_hand_case(spark):
     assert out["fresh"] == (0, 2, 2)
     assert out["gone"] == (0 + 1, 0, -1)
     assert out["alpha"] == (2, 2, 0)
+
+
+def test_extract_keywords_hand_case(spark):
+    import math as _m
+    docs = spark.createDataFrame(
+        [(0, "rare rare common"), (1, "common other"), (2, "common x y")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.kw_rank): (r.term, r.score)
+           for r in textstats.extract_keywords(docs, k=2).collect()}
+    caching.drain()
+    # doc 0: 'rare' tf=2 idf=ln(3/1) beats 'common' tf=1 idf=ln(3/3)=0
+    assert out[(0, 1)] == ("rare", round(2 * _m.log(3.0 / 1), 6))
+    assert out[(0, 2)] == ("common", 0.0)
