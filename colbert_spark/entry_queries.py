@@ -5036,3 +5036,137 @@ rk AS (
 SELECT doc_id, term, tf, score, CAST(kw_rank AS BIGINT) AS kw_rank
 FROM rk WHERE kw_rank <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# autocomplete + auto-corrected search (operators/fuzzy.py)
+# ---------------------------------------------------------------------------
+
+COMPLETE_PREFIXES: list[str] = ["sc", "f", "wi", "zz"]
+
+
+def q_suggest_autocomplete(spark, sf_dir):
+    """Search-box autocomplete: top-5 dictionary completions per typed
+    prefix by (df desc, term asc); 'zz' matches nothing."""
+    from colbert_spark.operators import fuzzy
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    token_df = analysis.tokenize_docs(docs, id_col="pid", text_col="text",
+                                      maxlen=220)
+    tstats = brute.term_stats(token_df)
+    pf = spark.createDataFrame([(p,) for p in COMPLETE_PREFIXES],
+                               "prefix string")
+    return fuzzy.complete_prefix(tstats, pf, k=5)
+
+
+QUERIES["suggest_autocomplete"] = q_suggest_autocomplete
+
+_SQL_PREFIXES = ", ".join(f"('{p}')" for p in COMPLETE_PREFIXES)
+
+ORACLE["suggest_autocomplete"] = f"""
+WITH {_SQL_CORPUS_CTES},
+pf(prefix) AS (VALUES {_SQL_PREFIXES}),
+m AS (
+  SELECT pf.prefix, dfreq.term, CAST(dfreq.df AS BIGINT) AS df,
+         row_number() OVER (PARTITION BY pf.prefix
+                            ORDER BY dfreq.df DESC, dfreq.term) AS rank
+  FROM pf JOIN dfreq ON dfreq.term LIKE pf.prefix || '%'
+)
+SELECT prefix, term, df, CAST(rank AS BIGINT) AS rank
+FROM m WHERE rank <= 5
+"""
+
+
+#: typo'd query set: every OOV term is distance-1 from a vocab term
+#: except 'zzzzz' (uncorrectable → silently dropped on both sides)
+AUTOCORRECT_QUERY_SET: list[tuple[int, str]] = [
+    (0, "scann filtr join"),
+    (1, "windoq order sorty"),
+    (2, "zzzzz vector"),
+    (3, "the fasst key"),
+]
+
+
+def q_search_autocorrect(spark, sf_dir):
+    """'Did you mean', applied: OOV query terms auto-corrected via the
+    SymSpell distance-1 suggester, then BM25 top-10 over the corrected
+    term sets (fuzzy.autocorrect_bm25_topk)."""
+    from colbert_spark.operators import fuzzy
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    qs = spark.createDataFrame(AUTOCORRECT_QUERY_SET,
+                               "qid long, text string")
+    return fuzzy.autocorrect_bm25_topk(docs, qs, k=10)
+
+
+QUERIES["search_autocorrect"] = q_search_autocorrect
+
+_SQL_AC_VALUES = ", ".join(
+    f"(CAST({q} AS BIGINT), '{t}')" for q, t in AUTOCORRECT_QUERY_SET)
+
+ORACLE["search_autocorrect"] = f"""
+WITH {_SQL_CORPUS_CTES},
+aq(qid, text) AS (VALUES {_SQL_AC_VALUES}),
+aqt AS (SELECT DISTINCT qid, unnest({_sql_tokens('text', 32)}) AS term
+        FROM aq),
+inv AS (SELECT aqt.qid, aqt.term FROM aqt JOIN dfreq USING (term)),
+oovt AS (
+  SELECT DISTINCT term AS qterm FROM aqt
+  WHERE NOT EXISTS (SELECT 1 FROM dfreq d WHERE d.term = aqt.term)
+),
+dv AS (
+  SELECT term, df, unnest(list_distinct(list_append(
+    list_transform(range(1, len(term) + 1),
+                   i -> substr(term, 1, i - 1)
+                        || substr(term, i + 1, len(term))),
+    term))) AS v
+  FROM dfreq
+),
+ov AS (
+  SELECT qterm, unnest(list_distinct(list_append(
+    list_transform(range(1, len(qterm) + 1),
+                   i -> substr(qterm, 1, i - 1)
+                        || substr(qterm, i + 1, len(qterm))),
+    qterm))) AS v
+  FROM oovt
+),
+cand AS (SELECT DISTINCT qterm, term, df FROM ov JOIN dv USING (v)),
+sugg AS (
+  SELECT qterm, term FROM (
+    SELECT qterm, term,
+           row_number() OVER (PARTITION BY qterm
+                              ORDER BY levenshtein(qterm, term), df DESC,
+                                       term) AS r
+    FROM cand WHERE levenshtein(qterm, term) <= 1
+  ) WHERE r = 1
+),
+corrected AS (
+  SELECT DISTINCT qid, term FROM (
+    SELECT qid, term FROM inv
+    UNION ALL
+    SELECT aqt.qid, sugg.term FROM aqt JOIN sugg ON aqt.term = sugg.qterm
+  )
+),
+sc2 AS (
+  SELECT corrected.qid, tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM corrected
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY corrected.qid, tf.pid
+),
+rk2 AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid)
+           AS rank
+  FROM sc2
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM rk2 WHERE rank <= 10
+"""

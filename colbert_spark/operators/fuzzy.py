@@ -75,3 +75,101 @@ def term_suggest(
         .select("qterm", "term", F.col("dist").cast("long").alias("dist"),
                 F.col("df").cast("long").alias("df"), "rank")
     )
+
+
+def complete_prefix(
+    dictionary: DataFrame,
+    prefixes: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Autocomplete: dictionary(term, df) × prefixes(prefix) →
+    (prefix, term, df, rank) — top-k completions per prefix by
+    (df desc, term asc), the search-box suggestion feed. Broadcast
+    nested-loop prefix match (the probe side is keystrokes-tiny); the
+    dictionary never shuffles for the match.
+    """
+    m = dictionary.join(
+        F.broadcast(prefixes.select("prefix")),
+        F.col("term").startswith(F.col("prefix")),
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        m.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("prefix", "term", F.col("df").cast("long").alias("df"),
+                "rank")
+    )
+
+
+def autocorrect_query_terms(
+    dictionary: DataFrame,
+    qterms: DataFrame,
+) -> DataFrame:
+    """Conservative query auto-correction: (qid, term) → (qid, term)
+    where in-vocabulary terms pass through untouched and each
+    out-of-vocabulary term is replaced by its best distance-1 SymSpell
+    suggestion ((df desc, term asc) tiebreak); OOV terms with no
+    suggestion drop (they can match nothing anyway). Output is distinct
+    per (qid, term) — the "did you mean", applied.
+    """
+    dict_terms = dictionary.select("term")
+    invocab = qterms.join(dict_terms, "term", "left_semi")
+    oov = qterms.join(dict_terms, "term", "left_anti")
+    sugg = term_suggest(
+        dictionary, oov.select(F.col("term").alias("qterm")).distinct(), k=1
+    ).filter(F.col("dist") == 1).select(
+        F.col("qterm").alias("_bad"), F.col("term").alias("_fix"))
+    fixed = oov.join(sugg, oov["term"] == F.col("_bad")).select(
+        "qid", F.col("_fix").alias("term"))
+    return invocab.select("qid", "term").unionByName(fixed).distinct()
+
+
+def autocorrect_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "pid",
+    text_col: str = "text",
+    doc_maxlen: int | None = 220,
+    query_maxlen: int | None = 32,
+) -> DataFrame:
+    """End-to-end "did you mean, applied" retrieval: tokenize queries,
+    auto-correct OOV terms via the SymSpell distance-1 suggester
+    (autocorrect_query_terms), then score the corrected term sets with
+    the standard BM25 funnel → (qid, pid, rank, score). Queries whose
+    every term drops (OOV, uncorrectable) yield no rows.
+
+    Plan: one tokenize pass (persisted, caching-registered) feeds
+    stats, dictionary, suggester, and scoring; the suggester works on
+    the (tiny) OOV term set against the dictionary's deletion
+    neighborhood; scoring is the bm25_topk funnel.
+    """
+    from colbert_spark.functions import analysis, bm25
+    from colbert_spark.operators import brute
+
+    token_df = analysis.tokenize_docs(
+        docs, id_col=id_col, text_col=text_col, maxlen=doc_maxlen
+    ).persist()
+    from colbert_spark import caching
+    caching.register(token_df, "autocorrect_bm25_topk")
+    n, avgdl = brute.corpus_stats(token_df)
+    tstats = brute.term_stats(token_df)
+    qt = autocorrect_query_terms(
+        tstats, brute.query_terms(queries, query_maxlen))
+    qtidf = qt.join(tstats, "term").select(
+        "qid", "term", bm25.idf(F.col("df"), n).alias("idf"))
+    scored = token_df.withColumnRenamed(id_col, "pid").join(
+        F.broadcast(qtidf), "term"
+    ).select(
+        "qid", "pid",
+        bm25.term_score(F.col("tf"), F.col("doclen"), avgdl,
+                        F.col("idf")).alias("s"),
+    )
+    agg = scored.groupBy("qid", "pid").agg(
+        F.round(F.sum("s"), bm25.SCORE_DECIMALS).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "pid", "rank", "score")
+    )

@@ -1311,6 +1311,53 @@ def test_fuzzy_term_suggest(spark):
     assert "zzz" not in by_q
 
 
+def test_fuzzy_complete_prefix(spark):
+    """Autocomplete: top-k completions per prefix by (df desc, term asc);
+    a prefix IS its own completion; no-match prefixes yield no rows."""
+    from colbert_spark.operators.fuzzy import complete_prefix
+
+    dic = spark.createDataFrame(
+        [("scan", 100), ("scatter", 80), ("scale", 80), ("span", 60),
+         ("sc", 7), ("table", 10)],
+        "term string, df long",
+    )
+    pf = spark.createDataFrame([("sc",), ("tab",), ("zz",)],
+                               "prefix string")
+    out = complete_prefix(dic, pf, k=3).collect()
+    by_p = {}
+    for r in out:
+        by_p.setdefault(r["prefix"], []).append((r["rank"], r["term"]))
+    for v in by_p.values():
+        v.sort()
+    # df desc, then term asc for the 80-80 tie; 'sc' itself (df 7) cut at k=3
+    assert by_p["sc"] == [(1, "scan"), (2, "scale"), (3, "scatter")]
+    assert by_p["tab"] == [(1, "table")]
+    assert "zz" not in by_p
+
+
+def test_fuzzy_autocorrect_query_terms(spark):
+    """In-vocab terms pass through; OOV terms map to the best dist-1
+    suggestion (df desc tiebreak); uncorrectable OOV terms drop; output
+    is distinct per (qid, term) even when a fix collides with an
+    existing in-vocab term."""
+    from colbert_spark.operators.fuzzy import autocorrect_query_terms
+
+    dic = spark.createDataFrame(
+        [("scan", 100), ("scans", 40), ("filter", 70), ("key", 30)],
+        "term string, df long",
+    )
+    qt = spark.createDataFrame(
+        [(0, "scan"), (0, "filtr"),      # in-vocab + correctable
+         (1, "scann"), (1, "scan"),      # fix collides with in-vocab term
+         (2, "zzzzz")],                  # uncorrectable -> drops
+        "qid long, term string",
+    )
+    out = autocorrect_query_terms(dic, qt).collect()
+    got = {(r["qid"], r["term"]) for r in out}
+    assert got == {(0, "scan"), (0, "filter"), (1, "scan")}
+    assert len(out) == len(got)  # distinct
+
+
 def test_semdedup_min_id_representative(spark):
     """Each ε-ball keeps its min-id member; cross-cell near-dups are NOT
     dropped (the SemDeDup recall trade); clean mode = anti-join."""
