@@ -5170,3 +5170,229 @@ rk2 AS (
 SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
 FROM rk2 WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# MAP@10 eval (operators/metrics.map_at_k)
+# ---------------------------------------------------------------------------
+
+def q_eval_map10(spark, sf_dir):
+    """MAP@10 of BM25 vs binary tf-top3 pseudo-qrels (the per-query
+    tf-sum top-3 docs, built identically in the oracle)."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    token_df = analysis.tokenize_docs(docs, id_col="pid", text_col="text",
+                                      maxlen=220)
+    qterms = brute.query_terms(_query_df(spark), 32)
+    tfsum = (
+        token_df.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "pid")
+        .agg(F.sum("tf").alias("tfs"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("tfs"), F.asc("pid"))
+    qrels = (
+        tfsum.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .select("qid", "pid")
+    )
+    ranking = q_bm25_top10(spark, sf_dir)
+    return metrics.map_at_k(ranking, qrels, k=10).select(
+        F.col("map").alias("map10"))
+
+
+QUERIES["eval_map10"] = q_eval_map10
+
+ORACLE["eval_map10"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED},
+tfsum AS (
+  SELECT qt.qid, tf.pid, sum(tf.tf) AS tfs
+  FROM qt JOIN tf USING (term) GROUP BY qt.qid, tf.pid
+),
+qrels AS (
+  SELECT qid, pid FROM (
+    SELECT qid, pid,
+           row_number() OVER (PARTITION BY qid ORDER BY tfs DESC, pid) AS r
+    FROM tfsum
+  ) WHERE r <= 3
+),
+hits AS (
+  SELECT ranked.qid, ranked.rank
+  FROM ranked JOIN qrels
+    ON ranked.qid = qrels.qid AND ranked.pid = qrels.pid
+  WHERE ranked.rank <= 10
+),
+prec AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid ORDER BY rank) / rank AS p
+  FROM hits
+),
+perq AS (SELECT qid, sum(p) AS sp FROM prec GROUP BY qid),
+relc AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid)
+SELECT round(avg(coalesce(perq.sp, 0.0) / least(relc.n_rel, 10)), 6)
+         AS map10
+FROM relc LEFT JOIN perq USING (qid)
+"""
+
+
+# ---------------------------------------------------------------------------
+# query-time synonym expansion (operators/expansion.synonym_bm25_topk)
+# ---------------------------------------------------------------------------
+
+#: directed thesaurus over the fixture vocabulary; 'rapid' is OOV so the
+#: 'fast' expansion is a provable no-op at the dfreq join
+SYNONYM_MAP: list[tuple[str, str]] = [
+    ("sort", "order"), ("order", "sort"), ("merge", "join"),
+    ("fast", "rapid"),
+]
+
+SYNONYM_QUERY_SET: list[tuple[int, str]] = [
+    (0, "sort filter"),
+    (1, "merge key"),
+    (2, "fast scan"),
+    (3, "zzabsent sort"),
+]
+
+
+def q_search_synonyms(spark, sf_dir):
+    """Query-time synonym expansion: each query term contributes its
+    thesaurus rows to the term set, expanded terms score with their own
+    df/idf through the standard BM25 OR funnel."""
+    from colbert_spark.operators import expansion
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    qs = spark.createDataFrame(SYNONYM_QUERY_SET, "qid long, text string")
+    syn = spark.createDataFrame(SYNONYM_MAP, "term string, synonym string")
+    return expansion.synonym_bm25_topk(docs, qs, syn, k=10)
+
+
+QUERIES["search_synonyms"] = q_search_synonyms
+
+_SQL_SYN_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in SYNONYM_MAP)
+_SQL_SYNQ_VALUES = ", ".join(
+    f"(CAST({q} AS BIGINT), '{t}')" for q, t in SYNONYM_QUERY_SET)
+
+ORACLE["search_synonyms"] = f"""
+WITH {_SQL_CORPUS_CTES},
+syn(term, synonym) AS (VALUES {_SQL_SYN_VALUES}),
+sq(qid, text) AS (VALUES {_SQL_SYNQ_VALUES}),
+sqt AS (SELECT DISTINCT qid, unnest({_sql_tokens('text', 32)}) AS term
+        FROM sq),
+ex AS (
+  SELECT DISTINCT qid, term FROM (
+    SELECT qid, term FROM sqt
+    UNION ALL
+    SELECT sqt.qid, syn.synonym AS term FROM sqt JOIN syn USING (term)
+  )
+),
+sc2 AS (
+  SELECT ex.qid, tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM ex
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY ex.qid, tf.pid
+),
+rk2 AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid)
+           AS rank
+  FROM sc2
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM rk2 WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# minimal-stemmer analysis chain (operators/stemming.stemmed_bm25_topk)
+# ---------------------------------------------------------------------------
+
+#: co-injected plural-bearing pages (the fixture vocabulary is singular-
+#: only, so — as with pii_scrub — BOTH engines union identical synthetic
+#: rows to make the stemmer non-vacuous); pids sit far above any sf
+STEM_EXTRA_DOCS: list[tuple[int, str]] = [
+    (9000000, "scans filters joins windows batches"),
+    (9000001, "the sort merges tables fast status class"),
+    (9000002, "keys keys keys sorts scan as"),
+]
+
+STEM_QUERY_SET: list[tuple[int, str]] = [
+    (0, "scans filter"),
+    (1, "join windows"),
+    (2, "keys sort"),
+    (3, "batches merges"),
+]
+
+_STEM_CASE = ("CASE WHEN len({t}) >= 3 AND {t} LIKE '%s' "
+              "AND substr({t}, len({t}) - 1, 1) NOT IN ('s', 'u') "
+              "THEN substr({t}, 1, len({t}) - 1) ELSE {t} END")
+
+
+def q_search_stemmed(spark, sf_dir):
+    """BM25 over the minimal-English-stemmer analysis chain: plural and
+    singular forms collapse into one posting on both the document and
+    query side ('scans' matches 'scan' in either direction; 'status',
+    'class', 'as' untouched)."""
+    from colbert_spark.operators import stemming
+
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    extra = spark.createDataFrame(STEM_EXTRA_DOCS, "pid long, text string")
+    qs = spark.createDataFrame(STEM_QUERY_SET, "qid long, text string")
+    return stemming.stemmed_bm25_topk(base.unionByName(extra), qs, k=10)
+
+
+QUERIES["search_stemmed"] = q_search_stemmed
+
+_SQL_STEM_DOCS = ", ".join(
+    f"(CAST({p} AS BIGINT), '{t}')" for p, t in STEM_EXTRA_DOCS)
+_SQL_STEMQ_VALUES = ", ".join(
+    f"(CAST({q} AS BIGINT), '{t}')" for q, t in STEM_QUERY_SET)
+
+ORACLE["search_stemmed"] = f"""
+WITH su AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {_SQL_STEM_DOCS}) exdocs(doc_id, text)
+),
+sd AS (SELECT doc_id AS pid, {_sql_tokens('text', 220)} AS terms FROM su),
+sdl AS (SELECT pid, len(terms) AS doclen FROM sd),
+stok AS (
+  SELECT pid, {_STEM_CASE.format(t='t')} AS term
+  FROM (SELECT pid, unnest(terms) AS t FROM sd)
+),
+stf AS (SELECT pid, term, count(*) AS tf FROM stok GROUP BY pid, term),
+sstats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM sdl),
+sdfreq AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+sq(qid, text) AS (VALUES {_SQL_STEMQ_VALUES}),
+sqt AS (
+  SELECT DISTINCT qid, {_STEM_CASE.format(t='t')} AS term
+  FROM (SELECT qid, unnest({_sql_tokens('text', 32)}) AS t FROM sq)
+),
+sc2 AS (
+  SELECT sqt.qid, stf.pid,
+         round(sum(
+           ln((s.n - sdfreq.df + 0.5) / (sdfreq.df + 0.5) + 1.0)
+           * stf.tf * ({K1} + 1.0)
+           / (stf.tf + {K1} * (1.0 - {B} + {B} * sdl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM sqt
+  JOIN sdfreq USING (term)
+  JOIN stf USING (term)
+  JOIN sdl ON stf.pid = sdl.pid
+  CROSS JOIN sstats s
+  GROUP BY sqt.qid, stf.pid
+),
+rk2 AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid)
+           AS rank
+  FROM sc2
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM rk2 WHERE rank <= 10
+"""

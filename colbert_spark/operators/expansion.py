@@ -161,3 +161,64 @@ def prefix_search_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "pid", "rank", "score")
     )
+
+
+def synonym_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    synonyms: DataFrame,
+    k: int = 10,
+    id_col: str = "pid",
+    text_col: str = "text",
+    doc_maxlen: int | None = 220,
+    query_maxlen: int | None = 32,
+) -> DataFrame:
+    """Query-time synonym expansion (Lucene SynonymFilter semantics,
+    query side) → ranking(qid, pid, rank, score).
+
+    synonyms(term, synonym) is a DIRECTED thesaurus: every query term
+    that appears as `term` also contributes its `synonym` rows to the
+    query's term set (equivalence classes = list both directions).
+    Expanded sets are distinct per (qid, term) — a synonym that is
+    already a query term adds nothing — and each expanded term scores
+    with its own df/idf through the standard BM25 OR funnel (the
+    documented "blended" contract, same as prefix expansion). Synonyms
+    that never occur in the corpus drop out at the dfreq join.
+
+    Plan shape: the thesaurus and the query term set are both tiny —
+    expansion is a broadcast join of broadcast-sized inputs; scoring is
+    the bm25_topk funnel (one tokenize pass, broadcast expanded-terms
+    join into the token table, one map-side-combined agg, per-qid rank
+    window). The corpus never shuffles for the expansion.
+    """
+    token_df = analysis.tokenize_docs(
+        docs, id_col=id_col, text_col=text_col, maxlen=doc_maxlen
+    ).persist()
+    caching.register(token_df, "synonym_bm25_topk")
+    n, avgdl = brute.corpus_stats(token_df)
+    tstats = brute.term_stats(token_df)
+    qterms = brute.query_terms(queries, query_maxlen)
+    syn = F.broadcast(synonyms.select("term", "synonym"))
+    expanded = (
+        qterms.join(syn, "term")
+        .select("qid", F.col("synonym").alias("term"))
+        .unionByName(qterms)
+        .distinct()
+    )
+    qt = expanded.join(tstats, "term").select(
+        "qid", "term", bm25.idf(F.col("df"), n).alias("idf"))
+    scored = token_df.withColumnRenamed(id_col, "pid").join(
+        F.broadcast(qt), "term"
+    ).select(
+        "qid", "pid",
+        bm25.term_score(F.col("tf"), F.col("doclen"), avgdl,
+                        F.col("idf")).alias("s"),
+    )
+    agg = scored.groupBy("qid", "pid").agg(
+        F.round(F.sum("s"), bm25.SCORE_DECIMALS).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "pid", "rank", "score")
+    )

@@ -71,6 +71,37 @@ def success_at_k(ranking: DataFrame, qrels: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def map_at_k(ranking: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """One row (map double): Mean Average Precision at cutoff k — the
+    classic TREC system metric beside MRR/recall/nDCG (the reference's
+    eval surface stops at MRR/recall/success,
+    utility/evaluate/msmarco_passages.py:16-91; this extends it).
+
+        AP@k = Σ_{relevant hits at rank r ≤ k} P@r / min(n_rel, k)
+        P@r  = (number of relevant hits at ranks ≤ r) / r
+        map  = mean of AP@k over qrel-queries (0 when no hit), round 6
+
+    Plan: the hit set is at most K·Q rows — the running-hit counter is a
+    per-qid window over hits only, never over the full ranking.
+    """
+    hits = _joined(ranking, qrels).filter(
+        (F.col("rel") == 1) & (F.col("rank") <= k))
+    hw = Window.partitionBy("qid").orderBy("rank")
+    per_q = (
+        hits.withColumn("p", F.row_number().over(hw) / F.col("rank"))
+        .groupBy("qid")
+        .agg(F.sum("p").alias("sp"))
+    )
+    rel_counts = qrels.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+    return (
+        rel_counts.join(per_q, "qid", "left")
+        .fillna({"sp": 0.0})
+        .select((F.col("sp")
+                 / F.least(F.col("n_rel"), F.lit(k))).alias("ap"))
+        .agg(F.round(F.avg("ap"), 6).alias("map"))
+    )
+
+
 def eval_summary(ranking: DataFrame, qrels: DataFrame,
                  ks: tuple[int, ...] = (10, 50, 200, 1000),
                  mrr_k: int = 10) -> DataFrame:

@@ -97,3 +97,76 @@ def test_prefix_search_ranks_like_bm25_on_single_term(spark):
             for r in brute.bm25_topk(docs, qs, k=10).collect()}
     caching.drain()
     assert got == want
+
+
+def test_synonym_search_empty_map_is_bm25_and_expansion_matches(spark):
+    """Empty thesaurus ≡ bm25_topk; a directed synonym pulls in docs the
+    raw query can't match, and an OOV synonym is a provable no-op."""
+    from colbert_spark.operators import brute
+
+    docs = spark.createDataFrame(DOCS, "pid long, text string")
+    qs = spark.createDataFrame([(0, "grape"), (1, "date")],
+                               "qid long, text string")
+    empty = spark.createDataFrame([], "term string, synonym string")
+    got = {(r.qid, r.pid, r.rank, r.score)
+           for r in expansion.synonym_bm25_topk(docs, qs, empty,
+                                                k=10).collect()}
+    want = {(r.qid, r.pid, r.rank, r.score)
+            for r in brute.bm25_topk(docs, qs, k=10).collect()}
+    assert got == want
+
+    syn = spark.createDataFrame(
+        [("grape", "fig"), ("date", "zzoov")], "term string, synonym string")
+    out = expansion.synonym_bm25_topk(docs, qs, syn, k=10)
+    rows = [(r.qid, r.pid) for r in out.collect()]
+    caching.drain()
+    # q0 "grape" now also matches fig docs 3, 4 (doc 3 has both)
+    assert sorted(p for q, p in rows if q == 0) == [3, 4]
+    # q1's OOV synonym adds nothing: still exactly the 'date' docs
+    assert sorted(p for q, p in rows if q == 1) == [1, 2]
+
+
+def test_stem_minimal_en_rule_and_bidirectional_match(spark):
+    """Golden stem cases (Lucene EnglishMinimalStemFilter rule) + the
+    collapsed term space matches plural↔singular both ways; 'ss'/'us'
+    endings and len<3 are untouched."""
+    import pyspark.sql.functions as F
+    from colbert_spark.operators import stemming
+
+    words = ["scans", "keys", "as", "class", "status", "is", "xs", "s"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = dict(
+        df.select("w", stemming.stem_minimal_en(F.col("w")).alias("st"))
+        .collect())
+    assert got == {"scans": "scan", "keys": "key", "as": "as",
+                   "class": "class", "status": "status", "is": "is",
+                   "xs": "xs", "s": "s"}
+
+    docs = spark.createDataFrame(
+        [(0, "apple apples apples"), (1, "apples banana"), (2, "cherry")],
+        "pid long, text string")
+    qs = spark.createDataFrame([(0, "apples"), (1, "apple")],
+                               "qid long, text string")
+    out = stemming.stemmed_bm25_topk(docs, qs, k=10)
+    rows = [(r.qid, r.pid, r.rank) for r in out.collect()]
+    caching.drain()
+    # both surface forms retrieve both apple docs; doc 0 (tf 3) first
+    assert [(p, r) for q, p, r in rows if q == 0] == [(0, 1), (1, 2)]
+    assert [(p, r) for q, p, r in rows if q == 1] == [(0, 1), (1, 2)]
+
+
+def test_map_at_k_hand_case(spark):
+    from colbert_spark.operators import metrics
+
+    # q0: rel docs {100, 300, 400}; hits at ranks 1 and 3 →
+    #     AP = (1/1 + 2/3) / min(3, 10)
+    # q1: rel doc {500} never ranked → AP 0
+    ranking = spark.createDataFrame(
+        [(0, 100, 1, 9.0), (0, 200, 2, 8.0), (0, 300, 3, 7.0),
+         (1, 600, 1, 5.0)],
+        "qid long, pid long, rank long, score double")
+    qrels = spark.createDataFrame(
+        [(0, 100), (0, 300), (0, 400), (1, 500)], "qid long, pid long")
+    got = metrics.map_at_k(ranking, qrels, k=10).collect()[0]["map"]
+    want = round(((1.0 + 2.0 / 3.0) / 3.0 + 0.0) / 2.0, 6)
+    assert got == pytest.approx(want, abs=1e-9)
