@@ -5396,3 +5396,150 @@ rk2 AS (
 SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
 FROM rk2 WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# index segment merge (plans/merger.merge_indexes)
+# ---------------------------------------------------------------------------
+
+def q_search_after_merge(spark, sf_dir):
+    """Sharded distributed build end-to-end: index even and odd pids as
+    two INDEPENDENT shard indexes (each freezes its own local N/avgdl/
+    idf), fold them with merge_indexes — which recomputes every global
+    statistic exactly — and search the merged index. The result must be
+    bit-identical to the untouched full-corpus BM25 oracle, which is
+    only possible if the merge's recomputed stats equal a single
+    full-corpus build's (each shard's local stats provably differ)."""
+    import hashlib
+
+    from colbert_spark.plans.config import ColBERTConfig
+    from colbert_spark.plans.indexer import Indexer
+    from colbert_spark.plans.merger import merge_indexes
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes")
+    shards = [f"entryq_mrg{half}_{tag}" for half in ("a", "b")]
+    for par, nm in enumerate(shards):
+        Indexer(cfg).index(nm, docs.filter(F.col("pid") % 2 == par),
+                           overwrite=True)
+    dest = f"entryq_mrgc_{tag}"
+    merge_indexes(spark, shards, dest, cfg, overwrite=True)
+    return _search_ranked(spark, cfg, dest)
+
+
+QUERIES["search_after_merge"] = q_search_after_merge
+
+ORACLE["search_after_merge"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
+SELECT qid, pid, rank, score FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# percolation / stored-query alerting (operators/percolate.py)
+# ---------------------------------------------------------------------------
+
+def q_percolate_alerts(spark, sf_dir):
+    """Reverse search: the fixed query set registered as standing
+    queries, every document percolated through them with AND semantics
+    (q8's OOV term means it can never fully match); per query the first
+    20 matching pids plus the total match count."""
+    from colbert_spark.operators import percolate
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    return percolate.percolate_topn(docs, _query_df(spark), n=20,
+                                    mode="all")
+
+
+QUERIES["percolate_alerts"] = q_percolate_alerts
+
+ORACLE["percolate_alerts"] = f"""
+WITH {_SQL_CORPUS_CTES},
+qsz AS (SELECT qid, count(*) AS n_terms FROM qt GROUP BY qid),
+dterms AS (SELECT DISTINCT pid, term FROM tf),
+h AS (
+  SELECT qt.qid, dterms.pid, count(*) AS matched
+  FROM dterms JOIN qt USING (term) GROUP BY qt.qid, dterms.pid
+),
+alla AS (
+  SELECT h.qid, h.pid, h.matched
+  FROM h JOIN qsz USING (qid) WHERE h.matched = qsz.n_terms
+),
+tot AS (SELECT qid, count(*) AS total FROM alla GROUP BY qid),
+rn AS (
+  SELECT qid, pid, matched,
+         row_number() OVER (PARTITION BY qid ORDER BY pid) AS rn
+  FROM alla
+)
+SELECT rn.qid, rn.pid, CAST(rn.matched AS BIGINT) AS matched,
+       CAST(tot.total AS BIGINT) AS total, CAST(rn.rn AS BIGINT) AS rn
+FROM rn JOIN tot USING (qid) WHERE rn.rn <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# more-like-this (operators/expansion.more_like_this)
+# ---------------------------------------------------------------------------
+
+MLT_SEED_PIDS: list[int] = [0, 1, 2, 3, 4]
+
+
+def q_more_like_this(spark, sf_dir):
+    """Lucene MoreLikeThis over seed docs 0-4: top-10 tf·idf
+    "interesting terms" per seed run as a BM25 OR query, seed excluded
+    → related-pages top-10 per seed."""
+    from colbert_spark.operators import expansion
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    seeds = spark.createDataFrame([(p,) for p in MLT_SEED_PIDS], "pid long")
+    return expansion.more_like_this(docs, seeds, top_terms=10, k=10)
+
+
+QUERIES["more_like_this"] = q_more_like_this
+
+_SQL_MLT_SEEDS = ", ".join(f"(CAST({p} AS BIGINT))" for p in MLT_SEED_PIDS)
+
+ORACLE["more_like_this"] = f"""
+WITH {_SQL_CORPUS_CTES},
+seeds(qid) AS (VALUES {_SQL_MLT_SEEDS}),
+st AS (
+  SELECT seeds.qid, tf.term,
+         round(tf.tf * ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0),
+               6) AS w
+  FROM seeds
+  JOIN tf ON tf.pid = seeds.qid
+  JOIN dfreq USING (term)
+  CROSS JOIN stats s
+),
+mqt AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid ORDER BY w DESC, term) AS r
+    FROM st
+  ) WHERE r <= 10
+),
+sc2 AS (
+  SELECT mqt.qid, tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM mqt
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  WHERE tf.pid <> mqt.qid
+  GROUP BY mqt.qid, tf.pid
+),
+rk2 AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid)
+           AS rank
+  FROM sc2
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM rk2 WHERE rank <= 10
+"""

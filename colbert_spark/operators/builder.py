@@ -218,6 +218,64 @@ def doc_stats(token_df: DataFrame) -> DataFrame:
     return token_df.groupBy("pid").agg(F.first("doclen").alias("doclen"))
 
 
+def decode_blocks_flat(blocks: DataFrame) -> DataFrame:
+    """blocks → flat (term_id, pid, tf, doclen, epoch) via mapInPandas —
+    embarrassingly parallel (each block is self-contained: no grouping,
+    no skew). epoch = block_id >> 32 (the salt namespace) so callers can
+    fold tombstones epoch-bounded. The compaction/merge decode input."""
+    import pandas as pd
+
+    from colbert_spark.functions.codec import decode_pids, decode_tfs
+
+    def decode_flat(batches):
+        for pdf in batches:
+            out = []
+            for term_id, block_id, pb, tb, db in zip(
+                pdf["term_id"], pdf["block_id"], pdf["pids"], pdf["tfs"],
+                pdf["dls"]
+            ):
+                p = decode_pids(bytes(pb))
+                out.append(pd.DataFrame({
+                    "term_id": term_id,
+                    "pid": p,
+                    "tf": decode_tfs(bytes(tb)),
+                    "doclen": decode_tfs(bytes(db)),
+                    # block epoch (salt namespace) — the tombstone fold is
+                    # epoch-bounded: a re-added pid's NEW postings survive
+                    "epoch": int(block_id) >> 32,
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return blocks.select("term_id", "block_id", "pids", "tfs", "dls") \
+        .mapInPandas(
+            decode_flat,
+            schema="term_id long, pid long, tf long, doclen long, epoch long",
+        )
+
+
+def live_flat_postings(catalog, spark) -> DataFrame:
+    """Flat LIVE postings of an index: decode every block and fold the
+    index's tombstones with the epoch bound (a pid drops only from
+    blocks with epoch < before_epoch). Returns (term_id, pid, tf,
+    doclen) — the shared input of compaction and segment merging."""
+    flat = decode_blocks_flat(catalog.read(spark, "postings"))
+    if catalog.table_exists("tombstones"):
+        t = catalog.read(spark, "tombstones")
+        if "before_epoch" not in t.columns:
+            # pre-epoch table: exclude every epoch — coalescing once IS the
+            # documented migration path for old indexes
+            t = t.withColumn("before_epoch", F.lit(1 << 62))
+        tombs = t.select(F.col("pid").alias("t_pid"), "before_epoch")
+        flat = flat.join(
+            tombs,
+            (F.col("pid") == F.col("t_pid"))
+            & (F.col("epoch") < F.col("before_epoch")),
+            "left_anti",
+        )
+    return flat.drop("epoch")
+
+
 def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
     """Segment compaction (S13, colbert/utils/coalesce.py:9-111 analog +
     reference index_coalesce_test.py equivalence contract): decode every
@@ -244,10 +302,6 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
     sorted-adjacent guard. Iceberg's rewrite_data_files would replace
     this wholesale on a real catalog.
     """
-    import pandas as pd
-
-    from colbert_spark.functions.codec import decode_pids, decode_tfs
-
     from pyspark.sql import SparkSession
 
     ss = SparkSession.getActiveSession()
@@ -270,45 +324,7 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
         )
     )
 
-    def decode_flat(batches):
-        for pdf in batches:
-            out = []
-            for term_id, block_id, pb, tb, db in zip(
-                pdf["term_id"], pdf["block_id"], pdf["pids"], pdf["tfs"],
-                pdf["dls"]
-            ):
-                p = decode_pids(bytes(pb))
-                out.append(pd.DataFrame({
-                    "term_id": term_id,
-                    "pid": p,
-                    "tf": decode_tfs(bytes(tb)),
-                    "doclen": decode_tfs(bytes(db)),
-                    # block epoch (salt namespace) — the tombstone fold is
-                    # epoch-bounded: a re-added pid's NEW postings survive
-                    "epoch": int(block_id) >> 32,
-                }))
-            if out:
-                yield pd.concat(out, ignore_index=True)
-
-    flat = blocks.select("term_id", "block_id", "pids", "tfs", "dls") \
-        .mapInPandas(
-            decode_flat,
-            schema="term_id long, pid long, tf long, doclen long, epoch long",
-        )
-    if catalog.table_exists("tombstones"):
-        t = catalog.read(ss, "tombstones")
-        if "before_epoch" not in t.columns:
-            # pre-epoch table: exclude every epoch — coalescing once IS the
-            # documented migration path for old indexes
-            t = t.withColumn("before_epoch", F.lit(1 << 62))
-        tombs = t.select(F.col("pid").alias("t_pid"), "before_epoch")
-        flat = flat.join(
-            tombs,
-            (F.col("pid") == F.col("t_pid"))
-            & (F.col("epoch") < F.col("before_epoch")),
-            "left_anti",
-        )
-    flat = flat.drop("epoch")
+    flat = live_flat_postings(catalog, ss)
     enriched = flat.join(F.broadcast(dict_slice), "term_id").select(
         "term_id", "pid", "tf", "doclen",
         F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),

@@ -222,3 +222,63 @@ def synonym_bm25_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "pid", "rank", "score")
     )
+
+
+def more_like_this(
+    docs: DataFrame,
+    seed_pids: DataFrame,
+    top_terms: int = 10,
+    k: int = 10,
+    id_col: str = "pid",
+    text_col: str = "text",
+    doc_maxlen: int | None = 220,
+) -> DataFrame:
+    """Lucene MoreLikeThis: per seed document, elect its top `top_terms`
+    terms by tf·idf (the "interesting terms", weight rounded 6, tiebreak
+    term asc) and run them as a BM25 OR query over the corpus, excluding
+    the seed itself → (qid, pid, rank, score) with qid = the seed pid.
+    The related-pages / "similar articles" feed.
+
+    Plan shape: seeds are a tiny table — term election is a broadcast
+    semi-join into the shared token cache plus a per-seed window over
+    the seed's own terms; scoring is the bm25_topk funnel (broadcast
+    elected-terms join, one combinable agg, per-qid rank window).
+    """
+    token_df = analysis.tokenize_docs(
+        docs, id_col=id_col, text_col=text_col, maxlen=doc_maxlen
+    ).persist()
+    caching.register(token_df, "more_like_this")
+    tok = token_df.withColumnRenamed(id_col, "pid")
+    n, avgdl = brute.corpus_stats(token_df)
+    tstats = brute.term_stats(token_df)
+
+    seed_terms = (
+        tok.join(F.broadcast(seed_pids.select(F.col("pid").alias("qid"))),
+                 tok["pid"] == F.col("qid"))
+        .join(tstats, "term")
+        .select("qid", "term",
+                F.round(F.col("tf") * bm25.idf(F.col("df"), n), 6)
+                .alias("w"))
+    )
+    ew = Window.partitionBy("qid").orderBy(F.desc("w"), F.asc("term"))
+    qt = (
+        seed_terms.withColumn("r", F.row_number().over(ew))
+        .filter(F.col("r") <= top_terms)
+        .join(tstats, "term")
+        .select("qid", "term", bm25.idf(F.col("df"), n).alias("idf"))
+    )
+    scored = tok.join(F.broadcast(qt), "term").filter(
+        F.col("pid") != F.col("qid")
+    ).select(
+        "qid", "pid",
+        bm25.term_score(F.col("tf"), F.col("doclen"), avgdl,
+                        F.col("idf")).alias("s"),
+    )
+    agg = scored.groupBy("qid", "pid").agg(
+        F.round(F.sum("s"), bm25.SCORE_DECIMALS).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "pid", "rank", "score")
+    )

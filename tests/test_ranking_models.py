@@ -170,3 +170,53 @@ def test_map_at_k_hand_case(spark):
     got = metrics.map_at_k(ranking, qrels, k=10).collect()[0]["map"]
     want = round(((1.0 + 2.0 / 3.0) / 3.0 + 0.0) / 2.0, 6)
     assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_percolate_all_vs_any_and_topn_digest(spark):
+    """AND vs OR semantics, OOV-term queries never fully match, and the
+    top-n digest's total/rn contract."""
+    from colbert_spark.operators import percolate
+
+    docs = spark.createDataFrame(DOCS, "pid long, text string")
+    sq = spark.createDataFrame(
+        [(0, "apple banana"), (1, "zz apple"), (2, "fig")],
+        "qid long, text string")
+
+    got_all = {(r.qid, r.pid, r.matched)
+               for r in percolate.percolate(docs, sq, mode="all").collect()}
+    assert got_all == {(0, 0, 2), (0, 2, 2), (2, 3, 1), (2, 4, 1)}
+
+    got_any = {(r.qid, r.pid)
+               for r in percolate.percolate(docs, sq, mode="any").collect()}
+    assert got_any == {(0, 0), (0, 1), (0, 2), (0, 4),
+                       (1, 0), (1, 2), (1, 4), (2, 3), (2, 4)}
+
+    digest = percolate.percolate_topn(docs, sq, n=1, mode="all").collect()
+    by_q = {r.qid: (r.pid, r.total, r.rn) for r in digest}
+    assert by_q == {0: (0, 2, 1), 2: (3, 2, 1)}
+
+    with pytest.raises(ValueError, match="mode"):
+        percolate.percolate(docs, sq, mode="fuzzy")
+
+
+def test_more_like_this_excludes_seed_and_scores_like_bm25(spark):
+    """Seed 0's distinct terms all fit in top_terms, so MLT must equal
+    BM25 on that term set with the seed dropped and ranks recomputed."""
+    from colbert_spark.operators import brute, expansion
+
+    docs = spark.createDataFrame(DOCS, "pid long, text string")
+    seeds = spark.createDataFrame([(0,)], "pid long")
+    got = sorted(
+        (r.rank, r.pid, r.score)
+        for r in expansion.more_like_this(docs, seeds, top_terms=10,
+                                          k=10).collect())
+    qs = spark.createDataFrame([(0, "apple banana cherry")],
+                               "qid long, text string")
+    base = [(r.pid, r.score)
+            for r in brute.bm25_topk(docs, qs, k=10).collect()
+            if r.pid != 0]
+    base.sort(key=lambda x: (-x[1], x[0]))
+    want = sorted((i + 1, p, s) for i, (p, s) in enumerate(base))
+    caching.drain()
+    assert got == want
+    assert all(p != 0 for _, p, _ in got)
