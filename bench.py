@@ -258,6 +258,23 @@ def main() -> None:
 
     timed("index_purge_surgery_100k", _purge_surgery, reps=1)
 
+    # r5: segment merge — two 50k shard indexes folded into one with
+    # globally exact recomputed stats (plans/merger.merge_indexes). The
+    # distributed-build fold step's cost relative to a fresh 100k build
+    # (expected: comparable to coalesce — one flat decode per shard +
+    # one salted re-blockify, no tokenize).
+    from colbert_spark.plans.merger import merge_indexes
+
+    for _half, _nm in ((0, "bench50k_a"), (1, "bench50k_b")):
+        _cfg_sh = _dc.replace(cfg_big, index_name=_nm)
+        Indexer(_cfg_sh).index(_nm, big.filter(F.col("pid") % 2 == _half),
+                               overwrite="force_silent_overwrite")
+    timed("index_merge_100k",
+          lambda: merge_indexes(spark, ["bench50k_a", "bench50k_b"],
+                                "bench100k_merged", cfg_big,
+                                overwrite=True),
+          reps=1)
+
     # headline_total covers the round-1 key set only, so the driver's
     # round-over-round comparison stays apples-to-apples; probes added in
     # later rounds report in `queries` but not the total
