@@ -5543,3 +5543,107 @@ rk2 AS (
 SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
 FROM rk2 WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# composed crawl → curate → index → search pipeline
+# ---------------------------------------------------------------------------
+
+def q_crawl_index_search(spark, sf_dir):
+    """End-to-end crawl pipeline as ONE oracle row: synthesize page URLs
+    for docs 0-499, enforce robots Disallow rules (webcrawl.
+    robots_filter), exact-dedup the survivors (dedup.
+    exact_dedup_keep_first — lowest pid per normalized text), build a
+    REAL index over what remains (Indexer: Arrow tokenize → salted
+    varint posting blocks), and answer the fixed query set with the
+    block-max Searcher. The oracle replays the whole funnel — URL
+    synthesis, robots gate, dedup election, and BM25 — so a drift in
+    ANY stage (or in the index build/search machinery itself) fails the
+    hash."""
+    import hashlib
+
+    from colbert_spark.operators.dedup import exact_dedup_keep_first
+    from colbert_spark.operators.webcrawl import robots_filter
+    from colbert_spark.plans.config import ColBERTConfig
+    from colbert_spark.plans.indexer import Indexer
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    pages = d.select(_page_url_expr().alias("url"),
+                     F.col("doc_id").alias("pid"), "text")
+    rules = spark.createDataFrame(
+        [("example0.com", "/page/1"), ("EXAMPLE1.com", "/")],
+        "host string, path_prefix string")
+    kept = robots_filter(pages, rules).select("pid", "text")
+    survivors = exact_dedup_keep_first(kept, id_col="pid", text_col="text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"entryq_pipe_{tag}"
+    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
+                        index_name=name)
+    Indexer(cfg).index(name, survivors, overwrite=True)
+    return _search_ranked(spark, cfg, name)
+
+
+QUERIES["crawl_index_search"] = q_crawl_index_search
+
+ORACLE["crawl_index_search"] = f"""
+WITH r(host, pp) AS (VALUES ('example0.com', '/page/1'),
+                            ('example1.com', '/')),
+p AS (
+  SELECT {_PAGE_URL_SQL} AS url, doc_id AS pid, text
+  FROM documents WHERE doc_id < 500
+),
+t AS (
+  SELECT url, pid, text,
+         lower(regexp_extract(url, '{_SQL_URL_RE}', 2)) AS host,
+         regexp_extract(url, '{_SQL_URL_RE}', 4) AS path
+  FROM p
+),
+kept AS (
+  SELECT pid, text FROM t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM r WHERE r.host = t.host AND starts_with(t.path, r.pp)
+  )
+),
+hh AS (
+  SELECT pid, text,
+         md5(array_to_string(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''), ' ')) AS h
+  FROM kept
+),
+keepmin AS (SELECT h, min(pid) AS pid FROM hh GROUP BY h),
+surv AS (
+  SELECT hh.pid, hh.text FROM hh
+  JOIN keepmin ON hh.h = keepmin.h AND hh.pid = keepmin.pid
+),
+d AS (SELECT pid, {_sql_tokens('text', 220)} AS terms FROM surv),
+dl AS (SELECT pid, len(terms) AS doclen FROM d),
+tok AS (SELECT pid, unnest(terms) AS term FROM d),
+tf AS (SELECT pid, term, count(*) AS tf FROM tok GROUP BY pid, term),
+stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(qid, text) AS (VALUES {_sql_values()}),
+qt AS (SELECT DISTINCT qid, unnest({_sql_tokens('text', 32)}) AS term
+       FROM q),
+scored AS (
+  SELECT qt.qid, tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM qt
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY qt.qid, tf.pid
+),
+ranked AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid)
+           AS rank
+  FROM scored
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 10
+"""
