@@ -71,19 +71,35 @@ def percolate_topn(
     stored_queries: DataFrame,
     n: int = 20,
     mode: str = "all",
+    presalt: int = 0,
     **kwargs,
 ) -> DataFrame:
     """Compact alert digest: per stored query, the first n matching pids
     (pid asc) plus the query's TOTAL match count repeated per row — the
     bounded result shape a driver/dashboard consumes when a hot query
-    matches millions of pages."""
+    matches millions of pages.
+
+    Scale: totals are a combinable groupBy agg (never a window), and
+    with presalt=s the top-n election is two-phase — per (qid, salt)
+    top-n first, so the global per-qid window sorts at most s·n rows
+    instead of every match of a hot query (the host_doc_cap remedy;
+    identical output for any s, pytest-proven)."""
     hits = percolate(docs, stored_queries, mode=mode, **kwargs)
+    totals = hits.groupBy("qid").agg(F.count(F.lit(1)).alias("total"))
+    cand = hits
+    if presalt:
+        sw = Window.partitionBy(
+            "qid", F.pmod(F.xxhash64("pid"), F.lit(presalt))
+        ).orderBy(F.asc("pid"))
+        cand = (
+            hits.withColumn("_r", F.row_number().over(sw))
+            .filter(F.col("_r") <= n).drop("_r")
+        )
     w = Window.partitionBy("qid").orderBy(F.asc("pid"))
-    cw = Window.partitionBy("qid")
     return (
-        hits.withColumn("total", F.count(F.lit(1)).over(cw))
-        .withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n)
+        .join(F.broadcast(totals), "qid")
         .select("qid", "pid", "matched",
                 F.col("total").cast("long").alias("total"),
                 F.col("rn").cast("long").alias("rn"))

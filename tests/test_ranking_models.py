@@ -199,6 +199,29 @@ def test_percolate_all_vs_any_and_topn_digest(spark):
         percolate.percolate(docs, sq, mode="fuzzy")
 
 
+def test_percolate_topn_presalt_identical(spark):
+    """The two-phase presalted election must be output-identical to the
+    single-window digest for every salt count (first-n-by-pid is a
+    prefix property, so per-salt prefixes cover the global prefix)."""
+    from colbert_spark.operators import percolate
+
+    docs = spark.createDataFrame(DOCS, "pid long, text string")
+    sq = spark.createDataFrame(
+        [(0, "apple"), (1, "cherry banana")], "qid long, text string")
+
+    def rows(df):
+        return sorted((r.qid, r.pid, r.matched, r.total, r.rn)
+                      for r in df.collect())
+
+    for mode in ("all", "any"):
+        base = rows(percolate.percolate_topn(docs, sq, n=2, mode=mode))
+        assert base  # non-trivial fixture
+        for s in (1, 2, 7):
+            got = rows(percolate.percolate_topn(
+                docs, sq, n=2, mode=mode, presalt=s))
+            assert got == base, (mode, s)
+
+
 def test_more_like_this_excludes_seed_and_scores_like_bm25(spark):
     """Seed 0's distinct terms all fit in top_terms, so MLT must equal
     BM25 on that term set with the seed dropped and ranks recomputed."""
