@@ -5444,12 +5444,14 @@ def q_percolate_alerts(spark, sf_dir):
     """Reverse search: the fixed query set registered as standing
     queries, every document percolated through them with AND semantics
     (q8's OOV term means it can never fully match); per query the first
-    20 matching pids plus the total match count."""
+    20 matching pids plus the total match count. Runs the presalted
+    two-phase election (presalt=8) so the hot-query scale path is the
+    one the oracle checks (identical output for any salt, pytest)."""
     from colbert_spark.operators import percolate
 
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
     return percolate.percolate_topn(docs, _query_df(spark), n=20,
-                                    mode="all")
+                                    mode="all", presalt=8)
 
 
 QUERIES["percolate_alerts"] = q_percolate_alerts
