@@ -3794,10 +3794,16 @@ def _html_sql() -> str:
     return "(" + " || ".join(parts) + ")"
 
 
-def _page_url_expr():
+def _page_url_expr(c=None):
+    c = F.col("doc_id") if c is None else c
     return F.concat(
-        F.lit("https://example"), (F.col("doc_id") % 7).cast("string"),
-        F.lit(".com/page/"), F.col("doc_id").cast("string"))
+        F.lit("https://example"), (c % 7).cast("string"),
+        F.lit(".com/page/"), c.cast("string"))
+
+
+def _page_url_sql(expr: str = "doc_id") -> str:
+    return (f"('https://example' || CAST(({expr}) % 7 AS VARCHAR) "
+            f"|| '.com/page/' || CAST(({expr}) AS VARCHAR))")
 
 
 _PAGE_URL_SQL = ("('https://example' || CAST(doc_id % 7 AS VARCHAR) "
@@ -5648,4 +5654,58 @@ ranked AS (
 )
 SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
 FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (webcrawl.resolve_redirects)
+# ---------------------------------------------------------------------------
+
+def q_resolve_redirects(spark, sf_dir):
+    """301-chain resolution over a synthesized redirect map: within each
+    decade of page urls, position p redirects to p+1 (terminal = the
+    decade's position-9 url, never a source); every 5th decade's
+    position-8 page instead redirects back to position 0, turning that
+    decade into a 9-cycle. max_hops=6 so long straight chains (positions
+    0-2 need 7-9 hops) are ALSO unresolved — all three contract outcomes
+    appear. Pointer doubling in Spark vs a step-at-a-time bounded
+    recursive CTE in DuckDB: the shapes must agree exactly."""
+    from colbert_spark.operators.webcrawl import resolve_redirects
+
+    d = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") < 500) & (F.col("doc_id") % 10 != 9))
+    dst_id = F.when(F.col("doc_id") % 50 == 8, F.col("doc_id") - 8) \
+              .otherwise(F.col("doc_id") + 1)
+    edges = d.select(_page_url_expr().alias("src"),
+                     _page_url_expr(dst_id).alias("dst"))
+    return resolve_redirects(edges, max_hops=6)
+
+
+QUERIES["resolve_redirects"] = q_resolve_redirects
+
+ORACLE["resolve_redirects"] = f"""
+WITH RECURSIVE e AS (
+  SELECT {_page_url_sql('doc_id')} AS src,
+         {_page_url_sql('CASE WHEN doc_id % 50 = 8 THEN doc_id - 8 '
+                        'ELSE doc_id + 1 END')} AS dst
+  FROM documents WHERE doc_id < 500 AND doc_id % 10 <> 9
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM e
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN e ON w.cur = e.src
+  WHERE w.hops < 6
+),
+term AS (
+  SELECT w.src, w.cur AS final_url, w.hops
+  FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)
+)
+SELECT e.src,
+       coalesce(t.final_url, '') AS final_url,
+       CAST(coalesce(t.hops, -1) AS BIGINT) AS hops,
+       CASE WHEN t.src IS NULL THEN 'unresolved'
+            ELSE 'resolved' END AS status
+FROM e LEFT JOIN term t ON e.src = t.src
 """

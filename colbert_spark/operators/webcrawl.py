@@ -31,6 +31,8 @@ operators are the upstream step a web-scale corpus needs before
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -171,6 +173,90 @@ def crawl_delta(
         .when(F.col("_hn").isNull(), F.lit("removed"))
         .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
         .otherwise(F.lit("changed")).alias("status"),
+    )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 32,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve every redirect source to its terminal URL — the crawl
+    post-processing step that collapses 301/302 chains so link graphs,
+    dedup, and canonical-URL election all see final destinations.
+
+    Input: redirects(src, dst), one row per redirecting URL (the map must
+    be functional — duplicate src rows are a data bug upstream, the same
+    URL cannot 301 to two places). Output one row per src:
+
+      (src, final_url, hops, status)
+
+    status='resolved'  — following the chain reaches, within `max_hops`
+                         steps, a URL that is not itself a redirect;
+                         final_url = that terminal, hops = chain length.
+      'unresolved'     — a redirect loop, or a chain longer than
+                         max_hops; final_url='' and hops=-1 (loops never
+                         terminate, so "the" final URL does not exist).
+
+    Scale path: pointer doubling — each round self-joins the current
+    (src → nxt, hops) map on nxt = src, composing f with itself, so a
+    chain of length L resolves in ceil(log2 L) rounds instead of L
+    sequential joins. Rows shuffle three slim columns; each round
+    localCheckpoints (the repo's iterative-loop rule — lineage would
+    otherwise double per round). After ceil(log2 max_hops) rounds every
+    chain of length <= max_hops has terminated; anything still pointing
+    at a redirect source, or resolved past max_hops, is a loop/overlong
+    chain by construction. The DuckDB oracle replays the contract as a
+    step-at-a-time recursive CTE bounded at max_hops — the two shapes
+    must agree exactly.
+
+    Reference note: no analog (the reference ingests pre-resolved
+    collections, colbert/data/collection.py); this is upstream crawl
+    hygiene a web-scale corpus needs before url canonicalization.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    m = redirects.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"))
+    cur = m.select(
+        "src",
+        F.col("dst").alias("nxt"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    rounds = max(1, math.ceil(math.log2(max_hops))) if max_hops > 1 else 1
+    for _ in range(rounds):
+        j = cur.select(
+            F.col("src").alias("_jsrc"),
+            F.col("nxt").alias("_jnxt"),
+            F.col("hops").alias("_jhops"),
+        )
+        cur = (
+            cur.join(j, cur["nxt"] == j["_jsrc"], "left")
+            .select(
+                "src",
+                F.coalesce("_jnxt", "nxt").alias("nxt"),
+                (F.col("hops") + F.coalesce("_jhops", F.lit(0)))
+                .alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # the redirect-source set is O(#redirects) — never hint-broadcast it;
+    # the join key (nxt) is a uniform url, AQE broadcasts when it fits
+    open_srcs = m.select(F.col("src").alias("nxt")).distinct().withColumn(
+        "_open", F.lit(1))
+    resolved = F.col("_open").isNull() & (F.col("hops") <= max_hops)
+    return (
+        cur.join(open_srcs, "nxt", "left")
+        .select(
+            "src",
+            F.when(resolved, F.col("nxt")).otherwise(F.lit(""))
+            .alias("final_url"),
+            F.when(resolved, F.col("hops")).otherwise(F.lit(-1))
+            .cast("long").alias("hops"),
+            F.when(resolved, F.lit("resolved"))
+            .otherwise(F.lit("unresolved")).alias("status"),
+        )
     )
 
 

@@ -64,6 +64,44 @@ def test_host_budget_cap_presalt_identical(spark):
     assert plain == salted
 
 
+def _resolve_py(edges, max_hops):
+    m = dict(edges)
+    out = {}
+    for s in m:
+        cur, hops = s, 0
+        while cur in m and hops <= max_hops:
+            cur = m[cur]
+            hops += 1
+        if cur not in m and hops <= max_hops:
+            out[s] = (cur, hops, "resolved")
+        else:
+            out[s] = ("", -1, "unresolved")
+    return out
+
+
+def test_resolve_redirects_chains_cycles_vs_python(spark):
+    """Chain of 5, a 3-cycle, a self-loop, a 2-step chain feeding the
+    cycle (unresolvable), and a chain longer than max_hops — all must
+    match the step-at-a-time pure-Python walk."""
+    from colbert_spark.operators.webcrawl import resolve_redirects
+
+    edges = [(f"c{i}", f"c{i+1}") for i in range(5)]          # c0..c4 → c5
+    edges += [("x0", "x1"), ("x1", "x2"), ("x2", "x0")]       # 3-cycle
+    edges += [("self", "self")]                               # self-loop
+    edges += [("into0", "into1"), ("into1", "x0")]            # feeds cycle
+    edges += [(f"L{i}", f"L{i+1}") for i in range(9)]         # len-9 chains
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    for h in (4, 9, 16):
+        want = _resolve_py(edges, h)
+        got = {r.src: (r.final_url, r.hops, r.status)
+               for r in resolve_redirects(df, max_hops=h).collect()}
+        assert got == want, h
+
+    with pytest.raises(ValueError, match="max_hops"):
+        resolve_redirects(df, max_hops=0)
+
+
 def _pmi_py(texts, min_count, k):
     uni: dict[str, int] = {}
     bi: dict[str, int] = {}
