@@ -5709,3 +5709,123 @@ SELECT e.src,
             ELSE 'resolved' END AS status
 FROM e LEFT JOIN term t ON e.src = t.src
 """
+
+
+# ---------------------------------------------------------------------------
+# keyset pagination (brute.bm25_search_after)
+# ---------------------------------------------------------------------------
+
+def q_search_page2(spark, sf_dir):
+    """Deep paging via search_after: page 1 is the standard top-10
+    funnel; its rank-10 row per query becomes the cursor, and page 2 is
+    everything strictly after that cursor in (-score, pid) order, top-10.
+    The oracle states the semantic claim directly — keyset page 2 must
+    be row-identical to ranks 11-20 of one deep ranking, rebased —
+    which only holds if the cursor predicate exactly continues the
+    round-6-then-rank total order."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    q = _query_df(spark)
+    page1 = brute.bm25_topk(docs, q, k=10)
+    cursors = page1.filter(F.col("rank") == 10).select(
+        "qid", F.col("score").alias("after_score"),
+        F.col("pid").alias("after_pid"))
+    out = brute.bm25_search_after(docs, q, cursors, k=10)
+    return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
+                      "score")
+
+
+QUERIES["search_page2"] = q_search_page2
+
+ORACLE["search_page2"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
+SELECT qid, pid, CAST(rank - 10 AS BIGINT) AS rank, score
+FROM ranked WHERE rank > 10 AND rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# minimum_should_match boolean search (phrase.boolean_search msm)
+# ---------------------------------------------------------------------------
+
+# msm=2 probes: 3-4 should terms where requiring two changes the match
+# set vs at-least-one; q3's empty should list is unmatchable under
+# msm=2 (the ES over-constrained contract)
+BOOL_MSM_SET: list[tuple[int, str, str, str]] = [
+    (0, "scan", "filter join merge", "zzabsent"),
+    (1, "window", "sort batch key", ""),
+    (2, "data", "stream hash table dup", ""),
+    (3, "group", "", ""),
+    (4, "customer line", "value batch small slow", "vector"),
+]
+
+
+def _sql_bool_msm_values() -> str:
+    return ", ".join(
+        f"(CAST({q} AS BIGINT), '{m}', '{s}', '{n}')"
+        for q, m, s, n in BOOL_MSM_SET)
+
+
+def q_boolean_msm_search(spark, sf_dir):
+    """minimum_should_match=2 boolean search: docs need ALL must terms,
+    at least TWO distinct should terms, and no must_not terms — q3's
+    empty should list is therefore unmatchable (zero rows for it), the
+    ES semantics when msm exceeds the clause count."""
+    from colbert_spark.operators import phrase
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    bq = spark.createDataFrame(
+        BOOL_MSM_SET, "qid long, must string, should string, must_not string")
+    return phrase.boolean_search(docs, bq, k=10, min_should_match=2)
+
+
+QUERIES["boolean_msm_search"] = q_boolean_msm_search
+
+ORACLE["boolean_msm_search"] = f"""
+WITH {_SQL_CORPUS_CTES},
+bq(qid, must, should, must_not) AS (VALUES {_sql_bool_msm_values()}),
+ba AS (
+  SELECT qid, list_distinct({_sql_tokens('must', 32)}) AS mu,
+         list_distinct({_sql_tokens('should', 32)}) AS sh,
+         list_distinct({_sql_tokens('must_not', 32)}) AS no
+  FROM bq
+),
+gate AS (
+  SELECT ba.qid, d.pid
+  FROM d CROSS JOIN ba
+  WHERE len(list_filter(mu, x -> NOT list_contains(d.terms, x))) = 0
+    AND len(list_filter(sh, x -> list_contains(d.terms, x))) >= 2
+    AND len(list_filter(no, x -> list_contains(d.terms, x))) = 0
+),
+qt2 AS (
+  SELECT DISTINCT qid,
+         unnest({_sql_tokens("must || ' ' || should", 32)}) AS term
+  FROM bq
+),
+scored2 AS (
+  SELECT qt2.qid, tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM qt2
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY qt2.qid, tf.pid
+),
+matched AS (
+  SELECT scored2.qid, scored2.pid, scored2.score
+  FROM scored2 JOIN gate
+    ON scored2.qid = gate.qid AND scored2.pid = gate.pid
+),
+rb AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, pid) AS rank
+  FROM matched
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM rb WHERE rank <= 10
+"""

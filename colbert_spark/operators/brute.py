@@ -132,6 +132,65 @@ def bm25_topk(
     return out
 
 
+def bm25_search_after(
+    docs: DataFrame,
+    queries: DataFrame,
+    cursors: DataFrame,
+    k: int = 10,
+    id_col: str = "pid",
+    text_col: str = "text",
+    doc_maxlen: int | None = 220,
+    query_maxlen: int | None = 32,
+) -> DataFrame:
+    """Keyset ("search_after") pagination — the next page of k results
+    strictly after a per-query cursor in the (-score, pid) total order.
+
+    cursors(qid, after_score, after_pid): the last row the client saw
+    (typically the k-th row of the previous page). A result row
+    qualifies iff score < after_score, or score = after_score and
+    pid > after_pid — exactly the continuation of the ranking order, so
+    page 2 via a cursor at rank k is row-identical to ranks k+1..2k of
+    one big ranking with ranks rebased (the property the oracle checks).
+    Queries with no cursor row return no rows (nothing to continue).
+    Returned rank is page-local 1..k.
+
+    Why keyset and not offset: deep offset-n paging ranks and discards n
+    rows per query per page; the cursor filter prunes everything at or
+    above the cursor BEFORE the rank window, so page cost stays O(page),
+    not O(depth) — the reason ES deprecated deep from+size in favor of
+    search_after. The cursor table is one row per paginating query
+    (broadcast by definition). Reference has no pagination surface
+    (colbert/searcher.py returns one fixed-k list).
+    """
+    token_df = analysis.tokenize_docs(docs, id_col=id_col, text_col=text_col,
+                                      maxlen=doc_maxlen).persist()
+    caching.register(token_df, "bm25_search_after")
+    n, avgdl = corpus_stats(token_df)
+    qt = query_terms(queries, query_maxlen).join(
+        term_stats(token_df), "term", "inner"
+    ).select("qid", "term", bm25.idf(F.col("df"), n).alias("idf"))
+    agg = (
+        token_df.join(F.broadcast(qt), "term")
+        .select("qid", F.col(id_col).alias("pid"),
+                bm25.term_score(F.col("tf"), F.col("doclen"), avgdl,
+                                F.col("idf")).alias("s"))
+        .groupBy("qid", "pid")
+        .agg(F.round(F.sum("s"), bm25.SCORE_DECIMALS).alias("score"))
+    )
+    cur = cursors.select("qid", "after_score", "after_pid")
+    page = agg.join(F.broadcast(cur), "qid").filter(
+        (F.col("score") < F.col("after_score"))
+        | ((F.col("score") == F.col("after_score"))
+           & (F.col("pid") > F.col("after_pid")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+    return (
+        page.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "pid", "rank", "score")
+    )
+
+
 def bm25_explain(
     docs: DataFrame,
     queries: DataFrame,

@@ -156,6 +156,7 @@ def boolean_search(
     text_col: str = "text",
     doc_maxlen: int | None = 220,
     query_maxlen: int | None = 32,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Boolean-gated BM25 → (qid, pid, rank, score).
 
@@ -166,6 +167,14 @@ def boolean_search(
     on the same doc_maxlen token view BM25 scores. Matches are ranked
     by BM25 over must ∪ should (must is required non-empty so every
     match has a positive score).
+
+    min_should_match: Lucene/ES minimum_should_match — when set, a doc
+    must contain at least that many DISTINCT `should` terms (0 makes the
+    should clause purely score-boosting, the ES default when must is
+    non-empty; values above the query's distinct-should count make it
+    unmatchable, like ES). None keeps the default at-least-one contract
+    above. Still one in-row codegen gate — the count replaces the
+    exists() probe, nothing shuffles differently.
 
     The gate is one corpus scan × broadcast queries, all in-row; the
     scorer is the standard funnel joined to the matched (qid, pid) set
@@ -181,10 +190,19 @@ def boolean_search(
     t = analysis.tokens(text_col, doc_maxlen)
     g = docs.select(F.col(id_col).alias("pid"), t.alias("t")).crossJoin(
         F.broadcast(barr))
+    if min_should_match is None:
+        should_ok = (
+            (F.size("sh") == 0)
+            | F.exists("sh", lambda x: F.array_contains(F.col("t"), x))
+        )
+    else:
+        should_ok = (
+            F.size(F.filter("sh", lambda x: F.array_contains(F.col("t"), x)))
+            >= min_should_match
+        )
     ok = (
         F.forall("mu", lambda x: F.array_contains(F.col("t"), x))
-        & ((F.size("sh") == 0)
-           | F.exists("sh", lambda x: F.array_contains(F.col("t"), x)))
+        & should_ok
         & ~F.exists("no", lambda x: F.array_contains(F.col("t"), x))
     )
     matched = g.filter(ok).select("qid", "pid")

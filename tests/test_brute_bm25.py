@@ -62,3 +62,54 @@ def test_deterministic_across_runs(spark, corpus):
     a = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
     b = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
     assert a == b
+
+
+def test_search_after_equals_offset_pages(spark, corpus):
+    """Keyset page 2/3 (cursor = last row of the previous page) must be
+    row-identical to ranks r+1..r+k of one deep ranking, rebased."""
+    import pyspark.sql.functions as F
+
+    from colbert_spark.operators.brute import bm25_search_after
+
+    docs, queries, _, _ = corpus
+    deep = bm25_topk(docs, queries, k=30).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(deep, key=lambda r: (r.qid, r.rank)):
+        by_q.setdefault(r.qid, []).append((r.pid, r.score))
+
+    for page_start in (5, 10):
+        cur_rows = [(q, rows[page_start - 1][1], rows[page_start - 1][0])
+                    for q, rows in by_q.items() if len(rows) >= page_start]
+        cursors = spark.createDataFrame(
+            cur_rows, "qid long, after_score double, after_pid long")
+        got = sorted(
+            (r.qid, r.rank, r.pid, r.score)
+            for r in bm25_search_after(docs, queries, cursors, k=5).collect())
+        want = sorted(
+            (q, i + 1, rows[page_start + i][0], rows[page_start + i][1])
+            for q, rows in by_q.items() if len(rows) >= page_start
+            for i in range(min(5, len(rows) - page_start)))
+        assert got == want, page_start
+
+
+def test_search_after_tie_boundary(spark):
+    """Cursor landing inside a score tie: pids above the cursor pid stay
+    excluded, pids after it qualify (the (score, pid) keyset contract)."""
+    from colbert_spark.operators.brute import bm25_search_after
+
+    # four identical docs tie exactly; one weaker doc ranks last
+    docs = spark.createDataFrame(
+        [(0, "apple pie"), (1, "apple pie"), (2, "apple pie"),
+         (3, "apple pie"), (4, "apple and a lot of other words here")],
+        "pid long, text string")
+    q = spark.createDataFrame([(0, "apple")], "qid long, text string")
+    deep = sorted(bm25_topk(docs, q, k=10).collect(), key=lambda r: r.rank)
+    assert [r.pid for r in deep] == [0, 1, 2, 3, 4]
+    tie_score = deep[0].score
+    assert deep[1].score == tie_score  # genuine tie
+
+    cursors = spark.createDataFrame(
+        [(0, tie_score, 1)], "qid long, after_score double, after_pid long")
+    got = sorted((r.rank, r.pid) for r in
+                 bm25_search_after(docs, q, cursors, k=10).collect())
+    assert got == [(1, 2), (2, 3), (3, 4)]

@@ -1283,6 +1283,48 @@ def test_boolean_search_gate_semantics(spark):
     assert all(r["score"] > 0 for r in out)
 
 
+def test_boolean_search_minimum_should_match(spark):
+    """msm counts DISTINCT matched should terms: 0 makes should purely
+    score-boosting, 2 requires two, msm > len(should) is unmatchable,
+    and an empty should list under msm>=1 is unmatchable (vs the None
+    default where it's vacuously true)."""
+    from colbert_spark.operators.phrase import boolean_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),       # matches beta+gamma (2 should)
+            (2, "alpha beta"),             # matches beta only   (1 should)
+            (3, "alpha"),                  # matches none        (0 should)
+        ],
+        "pid long, text string",
+    )
+    bq = spark.createDataFrame(
+        [(0, "alpha", "beta gamma delta", "")],
+        "qid long, must string, should string, must_not string",
+    )
+
+    def pids(msm):
+        return {r["pid"] for r in
+                boolean_search(docs, bq, k=10,
+                               min_should_match=msm).collect()}
+
+    assert pids(0) == {1, 2, 3}     # should purely optional
+    assert pids(1) == {1, 2}        # == the at-least-one default
+    assert pids(2) == {1}           # requires two distinct should hits
+    assert pids(4) == set()         # msm > len(should): unmatchable
+
+    # empty should list: vacuous under the None default, unmatchable
+    # under msm >= 1
+    bq_empty = spark.createDataFrame(
+        [(0, "alpha", "", "")],
+        "qid long, must string, should string, must_not string")
+    assert {r["pid"] for r in boolean_search(docs, bq_empty, k=10).collect()} \
+        == {1, 2, 3}
+    assert {r["pid"] for r in
+            boolean_search(docs, bq_empty, k=10,
+                           min_should_match=1).collect()} == set()
+
+
 def test_fuzzy_term_suggest(spark):
     """Deletion-neighborhood candidates + exact distance filter: exact
     match ranks first, dist-1 edits found, transpositions (dist 2 via a
