@@ -5829,3 +5829,70 @@ rb AS (
 SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
 FROM rb WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy retrieval (fuzzy.fuzzy_bm25_topk — Lucene FuzzyQuery semantics)
+# ---------------------------------------------------------------------------
+
+# misspellings, an exact in-vocab term (also expands to its distance-1
+# neighbors), and an unexpandable nonsense term
+FUZZY_QUERY_SET: list[tuple[int, str]] = [
+    (0, "scann filtr join"),
+    (1, "windoq sorty"),
+    (2, "tabel merge"),
+    (3, "zzzqx data"),
+]
+
+
+def q_fuzzy_search(spark, sf_dir):
+    """Fuzzy retrieval: every query term expands to ALL dictionary terms
+    within edit distance 1 (in-vocab terms keep their neighbors too),
+    union scored as a BM25 OR query. The Spark side finds the
+    neighborhood via the SymSpell shared-deletion equi-join; the oracle
+    states the brute levenshtein<=1 contract over the whole dictionary —
+    the hash match proves the neighborhood join is exact."""
+    from colbert_spark.operators import fuzzy
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    qs = spark.createDataFrame(FUZZY_QUERY_SET, "qid long, text string")
+    return fuzzy.fuzzy_bm25_topk(docs, qs, k=10)
+
+
+QUERIES["fuzzy_search"] = q_fuzzy_search
+
+_SQL_FUZZY_VALUES = ", ".join(
+    f"(CAST({q} AS BIGINT), '{t}')" for q, t in FUZZY_QUERY_SET)
+
+ORACLE["fuzzy_search"] = f"""
+WITH {_SQL_CORPUS_CTES},
+fq(qid, text) AS (VALUES {_SQL_FUZZY_VALUES}),
+fqt AS (SELECT DISTINCT qid, unnest({_sql_tokens('text', 32)}) AS qterm
+        FROM fq),
+exp AS (
+  SELECT DISTINCT fqt.qid, dfreq.term
+  FROM fqt JOIN dfreq ON levenshtein(fqt.qterm, dfreq.term) <= 1
+),
+scoredf AS (
+  SELECT exp.qid, tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM exp
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY exp.qid, tf.pid
+),
+rf AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, pid) AS rank
+  FROM scoredf
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM rf WHERE rank <= 10
+"""

@@ -124,6 +124,82 @@ def autocorrect_query_terms(
     return invocab.select("qid", "term").unionByName(fixed).distinct()
 
 
+def fuzzy_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "pid",
+    text_col: str = "text",
+    doc_maxlen: int | None = 220,
+    query_maxlen: int | None = 32,
+) -> DataFrame:
+    """Fuzzy retrieval (Lucene FuzzyQuery semantics, distance 1): every
+    query term — in-vocabulary or not — expands to ALL dictionary terms
+    within Levenshtein distance <= 1, and the union of expansions per
+    query is scored as a plain BM25 OR query → (qid, pid, rank, score).
+
+    Contrast with autocorrect_bm25_topk: autocorrect REPLACES each OOV
+    term with its single best fix; fuzzy keeps the whole neighborhood
+    (a search for 'tabel' also matches docs containing 'table' AND
+    'label'), the recall-over-precision trade Lucene's fuzzy operator
+    makes. Expansion dedups per (qid, term), so a term reachable from
+    two query terms scores once.
+
+    The expansion join is the SymSpell deletion-neighborhood equi-join
+    (never an all-pairs edit-distance pass) + exact levenshtein filter;
+    the DuckDB oracle instead states the brute-force contract directly
+    (levenshtein(qterm, term) <= 1 over the whole dictionary), so the
+    hash match proves the neighborhood join finds EXACTLY the distance-1
+    set — the shared-deletion guarantee, checked end-to-end.
+    """
+    from colbert_spark import caching
+    from colbert_spark.functions import analysis, bm25
+    from colbert_spark.operators import brute
+
+    token_df = analysis.tokenize_docs(
+        docs, id_col=id_col, text_col=text_col, maxlen=doc_maxlen
+    ).persist()
+    caching.register(token_df, "fuzzy_bm25_topk")
+    n, avgdl = brute.corpus_stats(token_df)
+    tstats = brute.term_stats(token_df)
+    qterms = brute.query_terms(queries, query_maxlen)
+
+    probes = qterms.select(F.col("term").alias("qterm")).distinct()
+    dv = tstats.select(
+        "term", F.explode(_neighborhood(F.col("term"))).alias("v"))
+    qv = probes.select(
+        "qterm", F.explode(_neighborhood(F.col("qterm"))).alias("v"))
+    exp = (
+        qv.join(dv, "v")
+        .select("qterm", "term")
+        .distinct()
+        .filter(F.levenshtein("qterm", "term") <= 1)
+    )
+    qt = (
+        qterms.withColumnRenamed("term", "qterm")
+        .join(exp, "qterm")
+        .select("qid", "term")
+        .distinct()
+        .join(tstats, "term")
+        .select("qid", "term", bm25.idf(F.col("df"), n).alias("idf"))
+    )
+    scored = token_df.withColumnRenamed(id_col, "pid").join(
+        F.broadcast(qt), "term"
+    ).select(
+        "qid", "pid",
+        bm25.term_score(F.col("tf"), F.col("doclen"), avgdl,
+                        F.col("idf")).alias("s"),
+    )
+    agg = scored.groupBy("qid", "pid").agg(
+        F.round(F.sum("s"), bm25.SCORE_DECIMALS).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "pid", "rank", "score")
+    )
+
+
 def autocorrect_bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -1325,6 +1325,53 @@ def test_boolean_search_minimum_should_match(spark):
                            min_should_match=1).collect()} == set()
 
 
+def test_fuzzy_search_matches_expanded_bm25(spark):
+    """fuzzy_bm25_topk must equal plain bm25_topk run on the hand-
+    expanded distance-1 term sets (computed with a pure-Python
+    levenshtein over the vocabulary), including an in-vocab term
+    keeping its neighbors and a nonsense term expanding to nothing."""
+    from colbert_spark.functions.analysis import python_tokenize
+    from colbert_spark.operators.brute import bm25_topk
+    from colbert_spark.operators.fuzzy import fuzzy_bm25_topk
+
+    docs_rows = [
+        (0, "table scan filter"),
+        (1, "label table join"),
+        (2, "scan scans span"),
+        (3, "filter merge sort"),
+    ]
+    docs = spark.createDataFrame(docs_rows, "pid long, text string")
+    queries = [(0, "tabel scan"), (1, "zzzqx filter")]
+    q = spark.createDataFrame(queries, "qid long, text string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    vocab = sorted({t for _, x in docs_rows for t in python_tokenize(x, 220)})
+    expanded = [
+        (qid, " ".join(sorted({v for t in python_tokenize(x, 32)
+                               for v in vocab if lev(t, v) <= 1})))
+        for qid, x in queries
+    ]
+    # sanity on the fixture: 'tabel' pulls 'label' (one substitution)
+    # but NOT 'table' (a transposition is distance 2 — plain
+    # Levenshtein, like Lucene with transpositions=false); in-vocab
+    # 'scan' still pulls scans+span; 'zzzqx' pulls nothing
+    assert expanded[0][1] == "label scan scans span"
+    assert expanded[1][1] == "filter"
+
+    eq = spark.createDataFrame(expanded, "qid long, text string")
+    want = sorted(map(tuple, bm25_topk(docs, eq, k=10).collect()))
+    got = sorted(map(tuple, fuzzy_bm25_topk(docs, q, k=10).collect()))
+    assert got == want
+
+
 def test_fuzzy_term_suggest(spark):
     """Deletion-neighborhood candidates + exact distance filter: exact
     match ranks first, dist-1 edits found, transpositions (dist 2 via a
