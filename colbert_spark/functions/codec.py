@@ -161,3 +161,97 @@ def encode_pids_packed(pids: np.ndarray) -> bytes:
 def decode_pids_packed(data: bytes) -> np.ndarray:
     g = bitpack_decode(data)
     return np.cumsum(g, dtype=np.uint64)
+
+
+# --- adaptive per-block codec (the PFOR rationale, realized) -------------
+#
+# Head-term blocks have dense small gaps where flat FOR stores 2-3 bits a
+# value vs varint's 8; tailed gap distributions have outliers that widen
+# every FOR lane, where varint wins. Instead of one global choice, each
+# block's payload carries a 1-byte codec tag and the encoder picks
+# whichever encoding is smaller FOR THAT BLOCK — both sizes are computed
+# exactly (closed form) before encoding, so only the winner is built.
+# Lucene makes the same per-block decision family in its postings format
+# (FOR blocks + vInt tail); this is that idea over the repo's two codecs.
+
+TAG_VARINT = 0
+TAG_BITPACK = 1
+
+
+def _codec_sizes(v: np.ndarray) -> tuple[int, int]:
+    """(varint_bytes, bitpack_bytes) the two encodings WOULD produce."""
+    if v.size == 0:
+        return 0, 9
+    groups = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        groups[nz] += 1
+        tmp >>= np.uint64(7)
+    varint_bytes = int(np.maximum(groups, 1).sum())
+    width = int(v.max()).bit_length()
+    bitpack_bytes = 9 + (v.size * width + 7) // 8
+    return varint_bytes, bitpack_bytes
+
+
+def encode_u64_auto(values: np.ndarray) -> bytes:
+    """1-byte tag + the smaller of {varint, FOR bitpack} for this array
+    (tie → varint, the branch-free-decode-free default)."""
+    v = np.asarray(values, dtype=np.uint64)
+    vs, bs = _codec_sizes(v)
+    if bs < vs:
+        return bytes([TAG_BITPACK]) + bitpack_encode(v)
+    return bytes([TAG_VARINT]) + varint_encode(v)
+
+
+def decode_u64_auto(data: bytes) -> np.ndarray:
+    """Inverse of encode_u64_auto (dispatch on the tag byte)."""
+    if len(data) == 0:
+        return np.empty(0, dtype=np.uint64)
+    tag = data[0]
+    if tag == TAG_BITPACK:
+        return bitpack_decode(data[1:])
+    if tag == TAG_VARINT:
+        return varint_decode(data[1:])
+    raise ValueError(f"unknown codec tag {tag}")
+
+
+def encode_pids_auto(pids: np.ndarray) -> bytes:
+    """Sorted pids → varint(first_pid) ++ tagged auto codec over the
+    gaps BETWEEN pids (strictness as encode_pids).
+
+    The absolute first pid is kept OUT of the FOR frame: it is O(corpus)
+    while gaps are O(corpus/df), so folding it into the gap array would
+    widen every bit-packed lane to its bit length and flat FOR would
+    never win — the exception-value problem PFOR exists to solve,
+    handled here by framing only the true gaps. The varint prefix is
+    self-delimiting (first byte with a clear continuation bit), so no
+    length header is needed."""
+    p = np.asarray(pids, dtype=np.int64)
+    if p.size == 0:
+        return b""
+    gaps = p[1:] - p[:-1]
+    if (gaps <= 0).any():
+        raise ValueError("pids must be strictly increasing")
+    head = varint_encode(np.array([p[0]], dtype=np.uint64))
+    return head + encode_u64_auto(gaps.astype(np.uint64))
+
+
+def decode_pids_auto(data: bytes) -> np.ndarray:
+    if len(data) == 0:
+        return np.empty(0, dtype=np.int64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    end = int(np.flatnonzero((buf & 0x80) == 0)[0])  # varint self-delimits
+    first = int(varint_decode(data[: end + 1])[0])
+    gaps = decode_u64_auto(data[end + 1:]).astype(np.int64)
+    return np.concatenate(([first], first + np.cumsum(gaps)))
+
+
+def encode_tfs_auto(tfs: np.ndarray) -> bytes:
+    return encode_u64_auto(np.asarray(tfs, dtype=np.uint64))
+
+
+def decode_tfs_auto(data: bytes) -> np.ndarray:
+    return decode_u64_auto(data).astype(np.int64)

@@ -39,7 +39,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from colbert_spark.functions import analysis, bm25
-from colbert_spark.functions.codec import encode_pids, encode_tfs
+from colbert_spark.functions.codec import encode_pids_auto as encode_pids, \
+    encode_tfs_auto as encode_tfs
 from colbert_spark.plans.config import ColBERTConfig
 from colbert_spark.sources.catalog import POSTINGS_SCHEMA
 
@@ -225,7 +226,10 @@ def decode_blocks_flat(blocks: DataFrame) -> DataFrame:
     fold tombstones epoch-bounded. The compaction/merge decode input."""
     import pandas as pd
 
-    from colbert_spark.functions.codec import decode_pids, decode_tfs
+    from colbert_spark.functions.codec import (
+        decode_pids_auto as decode_pids,
+        decode_tfs_auto as decode_tfs,
+    )
 
     def decode_flat(batches):
         for pdf in batches:
@@ -378,8 +382,8 @@ def _make_pid_purge_kernel(bc_pids, k1: float, b: float, avgdl: float):
 
     def purge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from colbert_spark.functions.codec import (
-            decode_pids,
-            decode_tfs,
+            decode_pids_auto as decode_pids,
+            decode_tfs_auto as decode_tfs,
         )
 
         purge_arr = bc_pids.value

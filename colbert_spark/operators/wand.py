@@ -38,7 +38,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from colbert_spark.functions.bm25 import B, K1, SCORE_DECIMALS
-from colbert_spark.functions.codec import decode_pids, decode_tfs
+from colbert_spark.functions.codec import decode_pids_auto as decode_pids, \
+    decode_tfs_auto as decode_tfs
 
 RANKING_SCHEMA = "qid long, pid long, rank int, score double"
 

@@ -112,3 +112,54 @@ def test_bitpack_beats_varint_on_dense_lists():
     pids = np.cumsum(gaps, dtype=np.uint64)
     packed, vb = len(encode_pids_packed(pids)), len(encode_pids(pids))
     assert packed < vb / 2
+
+
+# --- adaptive tagged codec ------------------------------------------------
+
+def test_auto_picks_the_smaller_encoding():
+    from colbert_spark.functions.codec import (
+        TAG_BITPACK,
+        TAG_VARINT,
+        bitpack_encode,
+        encode_u64_auto,
+        varint_encode,
+    )
+
+    dense = np.full(1000, 3, dtype=np.uint64)          # 2-bit lanes win
+    tailed = np.concatenate([np.ones(999, dtype=np.uint64),
+                             np.array([2**40], dtype=np.uint64)])
+    for vals in (dense, tailed):
+        enc = encode_u64_auto(vals)
+        vsz = len(varint_encode(vals))
+        bsz = len(bitpack_encode(vals))
+        assert len(enc) == 1 + min(vsz, bsz)
+        assert enc[0] == (TAG_BITPACK if bsz < vsz else TAG_VARINT)
+    assert encode_u64_auto(dense)[0] == TAG_BITPACK
+    assert encode_u64_auto(tailed)[0] == TAG_VARINT   # outlier widens FOR
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=200))
+def test_auto_roundtrip_property(xs):
+    from colbert_spark.functions.codec import decode_u64_auto, encode_u64_auto
+
+    vals = np.array(xs, dtype=np.uint64)
+    assert np.array_equal(decode_u64_auto(encode_u64_auto(vals)), vals)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**12), max_size=300))
+def test_auto_pid_roundtrip(pids):
+    from colbert_spark.functions.codec import decode_pids_auto, encode_pids_auto
+
+    arr = np.sort(np.array(sorted(pids), dtype=np.int64))
+    assert np.array_equal(decode_pids_auto(encode_pids_auto(arr)), arr)
+
+
+def test_auto_rejects_unsorted_and_unknown_tag():
+    from colbert_spark.functions.codec import decode_u64_auto, encode_pids_auto
+
+    with pytest.raises(ValueError):
+        encode_pids_auto(np.array([5, 3, 9], dtype=np.int64))
+    with pytest.raises(ValueError, match="codec tag"):
+        decode_u64_auto(b"\x7fjunk")

@@ -152,7 +152,7 @@ def test_compaction_of_skewed_index_stays_bounded(spark, tmp_path):
     )
     assert head_salts >= 2
     # tombstoned pids are physically absent from the decoded postings
-    from colbert_spark.functions.codec import decode_pids
+    from colbert_spark.functions.codec import decode_pids_auto as decode_pids
 
     for row in (cat.read(spark, "postings")
                 .filter(F.col("first_pid") <= 42)
