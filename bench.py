@@ -178,6 +178,30 @@ def main() -> None:
 
     timed("bm25f_full", _bench_bm25f)
 
+    # r5d: redirect-chain resolution at crawl scale — a 1M-edge synthetic
+    # map (50-url chains, every 10th block a cycle), max_hops=64 → SIX
+    # pointer-doubling self-joins resolve chains of up to 49 hops; the
+    # probe measures the log-rounds claim on real shuffle volume
+    def _bench_redirects():
+        from colbert_spark.operators.webcrawl import resolve_redirects
+
+        ids = spark.range(1_000_000).select(F.col("id"))
+        srcs = ids.filter(F.col("id") % 50 != 49)
+        dst_id = F.when(
+            (F.col("id") % 500 == 48),
+            F.col("id") - 48,
+        ).otherwise(F.col("id") + 1)
+
+        def _u(c):
+            return F.concat(F.lit("https://r"), (c % 89).cast("string"),
+                            F.lit(".com/u/"), c.cast("string"))
+
+        edges = srcs.select(_u(F.col("id")).alias("src"),
+                            _u(dst_id).alias("dst"))
+        resolve_redirects(edges, max_hops=64).count()
+
+    timed("resolve_redirects_1m", _bench_redirects)
+
     # new in r2: rerank-over-candidates through the allow-list scatter path
     allow = searcher.search_all(queries, k=20).df.select("qid", "pid")
     allow_rows = allow.collect()
