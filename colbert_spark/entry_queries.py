@@ -5896,3 +5896,108 @@ rf AS (
 SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
 FROM rf WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental crawl cycle: delta → updater → optimize-merge → search
+# ---------------------------------------------------------------------------
+
+def q_incremental_crawl_search(spark, sf_dir):
+    """The COMPLETE incremental-crawl maintenance story as one checked
+    row: index the OLD snapshot (docs 0-449); diff it against the NEW
+    snapshot (docs 50-499, every 10th text changed) with
+    webcrawl.crawl_delta; drive IndexUpdater from the delta statuses
+    (removed → tombstone, changed → tombstone + fresh-epoch re-add with
+    the new text, added → append); then fold the result with the 1-ary
+    optimize merge (plans/merger.merge_indexes), which recomputes every
+    global statistic from live postings. The searched result must be
+    bit-identical to the untouched BM25 oracle over the NEW snapshot —
+    only possible if delta routing, epoch-bounded tombstones,
+    stale-doc_stats pruning on re-add, AND the merge's stats recompute
+    are all exact."""
+    import hashlib
+
+    from colbert_spark.operators.webcrawl import crawl_delta
+    from colbert_spark.plans.config import ColBERTConfig
+    from colbert_spark.plans.index_updater import IndexUpdater
+    from colbert_spark.plans.indexer import Indexer
+    from colbert_spark.plans.merger import merge_indexes
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    url = _page_url_expr().alias("url")
+    new_text = (
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text")).alias("text")
+    )
+    old = d.filter(F.col("doc_id") < 450).select(
+        url, F.col("doc_id").alias("pid"), "text")
+    new = d.filter(F.col("doc_id") >= 50).select(
+        url, F.col("doc_id").alias("pid"), new_text)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"entryq_incr_{tag}"
+    cfg = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
+                        index_name=base)
+    Indexer(cfg).index(base, old.select("pid", "text"), overwrite=True)
+
+    delta = crawl_delta(old, new)
+    url2pid = old.select("url", "pid").unionByName(
+        new.select("url", "pid")).distinct()
+    dd = delta.join(url2pid, "url")
+    gone = sorted(r["pid"] for r in dd.filter(
+        F.col("status").isin("removed", "changed")).collect())
+    upd = IndexUpdater(base, spark, cfg)
+    upd.remove(gone)
+    to_add = dd.filter(F.col("status").isin("added", "changed")) \
+               .select("pid")
+    upd.add(new.join(to_add, "pid").select("pid", "text"))
+
+    opt = f"{base}_opt"
+    merge_indexes(spark, [base], opt, cfg, overwrite=True)
+    cfg_opt = ColBERTConfig(index_root="/tmp/colbert_spark_indexes",
+                            index_name=opt)
+    return _search_ranked(spark, cfg_opt, opt)
+
+
+QUERIES["incremental_crawl_search"] = q_incremental_crawl_search
+
+ORACLE["incremental_crawl_search"] = f"""
+WITH nd AS (
+  SELECT doc_id AS pid,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' updated'
+              ELSE text END AS text
+  FROM documents WHERE doc_id >= 50 AND doc_id < 500
+),
+d AS (SELECT pid, {_sql_tokens('text', 220)} AS terms FROM nd),
+dl AS (SELECT pid, len(terms) AS doclen FROM d),
+tok AS (SELECT pid, unnest(terms) AS term FROM d),
+tf AS (SELECT pid, term, count(*) AS tf FROM tok GROUP BY pid, term),
+stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(qid, text) AS (VALUES {_sql_values()}),
+qt AS (SELECT DISTINCT qid, unnest({_sql_tokens('text', 32)}) AS term
+       FROM q),
+scored AS (
+  SELECT qt.qid, tf.pid,
+         round(sum(
+           ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / s.avgdl))
+         ), 6) AS score
+  FROM qt
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.pid = dl.pid
+  CROSS JOIN stats s
+  GROUP BY qt.qid, tf.pid
+),
+ranked AS (
+  SELECT qid, pid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pid)
+           AS rank
+  FROM scored
+)
+SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 10
+"""

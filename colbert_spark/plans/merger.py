@@ -73,9 +73,16 @@ def merge_indexes(
     appends into them) is erased — the merged index scores exactly as a
     fresh full-corpus build. Sources are untouched. Returns the dest
     index root.
+
+    A SINGLE source is the optimize / stats-refresh merge (Lucene
+    forceMerge(1) analog): after a run of IndexUpdater appends and
+    removals, merging the index into a fresh name folds the tombstones
+    physically AND erases the frozen-stats approximation in one pass —
+    the finishing step of an incremental-crawl cycle (the
+    `incremental_crawl_search` oracle entry drives it end-to-end).
     """
-    if len(source_names) < 2:
-        raise ValueError("merge_indexes needs at least two source indexes")
+    if not source_names:
+        raise ValueError("merge_indexes needs at least one source index")
     cfg = ColBERTConfig.from_existing(config)
     cfg.index_name = dest_name
     dest = make_catalog(cfg)

@@ -75,13 +75,30 @@ def test_merge_folds_source_tombstones(spark, env):
         _rank(spark, cfg, "full_minus", queries)
 
 
+def test_single_source_merge_refreshes_frozen_stats(spark, env):
+    """The optimize/forceMerge(1) contract: appends score with FROZEN
+    base stats (provably different from a fresh union build), and a
+    1-ary merge erases that drift — merged == fresh full build."""
+    cfg, docs, queries = env
+    base = docs.filter(F.col("pid") < 120)
+    extra = docs.filter(F.col("pid") >= 120)
+    Indexer(cfg).index("grow", base, overwrite=True)
+    IndexUpdater("grow", spark, cfg).add(extra)
+    Indexer(cfg).index("fresh", docs, overwrite=True)
+    appended = _rank(spark, cfg, "grow", queries)
+    fresh = _rank(spark, cfg, "fresh", queries)
+    assert appended != fresh  # frozen-stats drift is real on this fixture
+    merge_indexes(spark, ["grow"], "grow_opt", cfg)
+    assert _rank(spark, cfg, "grow_opt", queries) == fresh
+
+
 def test_merge_guards_fail_loud(spark, env):
     cfg, docs, queries = env
     Indexer(cfg).index("a", docs.filter(F.col("pid") < 100), overwrite=True)
     Indexer(cfg).index("b", docs.filter(F.col("pid") >= 100), overwrite=True)
 
-    with pytest.raises(ValueError, match="at least two"):
-        merge_indexes(spark, ["a"], "m")
+    with pytest.raises(ValueError, match="at least one"):
+        merge_indexes(spark, [], "m")
     with pytest.raises(FileNotFoundError):
         merge_indexes(spark, ["a", "nosuch"], "m", cfg)
 
