@@ -6001,3 +6001,121 @@ ranked AS (
 SELECT qid, pid, CAST(rank AS BIGINT) AS rank, score
 FROM ranked WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# sitemap discovery gap (webcrawl.sitemap_urls / sitemap_gap)
+# ---------------------------------------------------------------------------
+
+def q_sitemap_gap(spark, sf_dir):
+    """Crawl-discovery gap: per-host sitemap XML (synthesized — hosts
+    list every crawled page PLUS 100 never-crawled ids 500-599,
+    <loc>-entries sorted) anti-joined against the crawled url set; the
+    gap must be exactly the 100 uncrawled urls with their hosts. The
+    oracle replays XML synthesis, <loc> extraction, and the anti-join."""
+    from colbert_spark.operators.webcrawl import sitemap_gap
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    ids = d.select(F.col("doc_id").alias("id")).unionAll(
+        d.filter(F.col("doc_id") < 100)
+         .select((F.col("doc_id") + 500).alias("id")))
+    entries = ids.select(
+        (F.col("id") % 7).cast("string").alias("hostn"),
+        F.concat(F.lit("<url><loc>"), _page_url_expr(F.col("id")),
+                 F.lit("</loc></url>")).alias("entry"))
+    sitemaps = entries.groupBy("hostn").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.array_join(F.array_sort(F.collect_list("entry")), ""),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    ).select(F.concat(F.lit("example"), F.col("hostn"), F.lit(".com"))
+             .alias("host"), "xml")
+    crawled = d.select(_page_url_expr().alias("url"))
+    return sitemap_gap(sitemaps, crawled)
+
+
+QUERIES["sitemap_gap"] = q_sitemap_gap
+
+ORACLE["sitemap_gap"] = f"""
+WITH ids AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id < 500
+  UNION ALL
+  SELECT doc_id + 500 FROM documents WHERE doc_id < 100
+),
+entries AS (
+  SELECT CAST(id % 7 AS VARCHAR) AS hostn,
+         '<url><loc>' || {_page_url_sql('id')} || '</loc></url>' AS entry
+  FROM ids
+),
+sm AS (
+  SELECT 'example' || hostn || '.com' AS host,
+         '<?xml version="1.0"?><urlset>'
+           || string_agg(entry, '' ORDER BY entry) || '</urlset>' AS xml
+  FROM entries GROUP BY hostn
+),
+listed AS (
+  SELECT host, unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1))
+           AS url
+  FROM sm
+),
+crawled AS (
+  SELECT {_PAGE_URL_SQL} AS url FROM documents WHERE doc_id < 500
+)
+SELECT listed.host, listed.url
+FROM listed LEFT JOIN crawled ON listed.url = crawled.url
+WHERE crawled.url IS NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# encoding / mojibake quality gate (textstats.encoding_quality)
+# ---------------------------------------------------------------------------
+
+def q_quality_encoding(spark, sf_dir):
+    """UTF-8 hygiene gate: the fixture text is clean ASCII, so both
+    engines co-inject identical damage — every 17th doc gets a CP1252
+    mojibake snippet (' caf\u00c3\u00a9 \u00e2\u20ac\u2122' — UTF-8
+    read as CP1252) and every 23rd a U+FFFD replacement char; the
+    operator's counts and clean flag must replay exactly in DuckDB
+    (same regex, chr()-built)."""
+    moji = " caf\u00c3\u00a9 \u00e2\u20ac\u2122"
+    bad = " bad\ufffd"
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(moji)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 23 == 0, F.lit(bad)).otherwise(F.lit("")),
+        ).alias("text"))
+    return textstats.encoding_quality(d)
+
+
+QUERIES["quality_encoding"] = q_quality_encoding
+
+_MOJI_SQL = ("' caf' || chr(195) || chr(169) || ' ' || chr(226) || "
+             "chr(8364) || chr(8482)")
+_MOJI_RE_SQL = ("chr(195) || '[' || chr(128) || '-' || chr(191) || ']|' "
+                "|| chr(226) || chr(8364)")
+
+ORACLE["quality_encoding"] = f"""
+WITH p AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 17 = 0 THEN {_MOJI_SQL} ELSE '' END
+           || CASE WHEN doc_id % 23 = 0 THEN ' bad' || chr(65533)
+              ELSE '' END AS text
+  FROM documents WHERE doc_id < 500
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, chr(65533), 0)) AS BIGINT)
+           AS fffd_count,
+         CAST(len(regexp_extract_all(text, {_MOJI_RE_SQL}, 0)) AS BIGINT)
+           AS mojibake_count
+  FROM p
+)
+SELECT doc_id, fffd_count, mojibake_count,
+       (fffd_count = 0 AND mojibake_count = 0) AS clean
+FROM c
+"""

@@ -583,3 +583,35 @@ def extract_keywords(
         .select(id_col, "term", "tf", "score",
                 F.col("kw_rank").cast("long").alias("kw_rank"))
     )
+
+
+#: high-confidence mojibake markers: U+00C3 'A-tilde' followed by a
+#: Latin-1 continuation char (UTF-8 two-byte sequence read as Latin-1,
+#: e.g. 'cafÃ©' for cafe-with-acute), or U+00E2 U+20AC — the
+#: CP1252 mangling prefix of curly punctuation ('â€™' is
+#: a right single quote). Explicit code points; Java regex and RE2 read
+#: the class identically.
+MOJIBAKE_RE = "\u00c3[\u0080-\u00bf]|\u00e2\u20ac"
+
+
+def encoding_quality(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Mojibake / encoding-damage signals per document — the C4/CCNet
+    utf-8-hygiene gate: text that survived a wrong-codec round trip
+    (UTF-8 bytes decoded as Latin-1/CP1252) carries characteristic
+    two-char digraphs; decoder failures leave U+FFFD replacement chars.
+    Returns (id, fffd_count, mojibake_count, clean), clean = both
+    counts zero. Pure codegen (regexp_extract_all sizes), one scan,
+    zero shuffles; MOJIBAKE_RE is in the Java-regex ∩ RE2 subset so the
+    DuckDB oracle replays the same pattern verbatim.
+    """
+    fffd = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit("\ufffd"), F.lit(0)))
+    moji = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(MOJIBAKE_RE), F.lit(0)))
+    return docs.select(
+        F.col(id_col),
+        fffd.cast("long").alias("fffd_count"),
+        moji.cast("long").alias("mojibake_count"),
+        ((fffd == F.lit(0)) & (moji == F.lit(0))).alias("clean"),
+    )

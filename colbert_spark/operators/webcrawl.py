@@ -176,6 +176,47 @@ def crawl_delta(
     )
 
 
+def sitemap_urls(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+) -> DataFrame:
+    """Extract <loc> URLs from sitemap XML — the crawl-discovery source
+    format (sitemaps.org protocol). sitemaps(host, xml) → (host, url),
+    one row per <loc> entry; entity-decoded for the five XML escapes a
+    conformant sitemap may contain. Pure codegen (regexp_extract_all +
+    explode) — sitemap files never shuffle, only the extracted slim
+    (host, url) rows do.
+
+    Reference note: no analog (the reference ingests fixed TSVs); this
+    is the discovery half of the crawl loop — pair with
+    `sitemap_gap` to find listed-but-never-crawled pages.
+    """
+    locs = F.explode(
+        F.expr(f"regexp_extract_all({xml_col}, '<loc>([^<]*)</loc>', 1)")
+    ).alias("_loc")
+    out = sitemaps.select("host", locs)
+    url = F.col("_loc")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        url = F.replace(url, F.lit(ent), F.lit(ch))
+    return out.select("host", url.alias("url"))
+
+
+def sitemap_gap(
+    sitemaps: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+    xml_col: str = "xml",
+) -> DataFrame:
+    """URLs a site's sitemap lists that the crawl has never captured —
+    the recrawl planner's fetch frontier. One anti-join on uniform url
+    keys; the crawled side reduces to its url column before shuffling.
+    Returns (host, url)."""
+    listed = sitemap_urls(sitemaps, xml_col=xml_col)
+    seen = crawled.select(F.col(url_col).alias("url"))
+    return listed.join(seen, "url", "left_anti").select("host", "url")
+
+
 def resolve_redirects(
     redirects: DataFrame,
     max_hops: int = 32,

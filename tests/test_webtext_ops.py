@@ -102,6 +102,29 @@ def test_resolve_redirects_chains_cycles_vs_python(spark):
         resolve_redirects(df, max_hops=0)
 
 
+def test_sitemap_urls_and_gap(spark):
+    """<loc> extraction with XML entity decoding (&amp; last, so
+    '&amp;lt;' decodes to '&lt;' not '<'), and the gap anti-join."""
+    from colbert_spark.operators.webcrawl import sitemap_gap, sitemap_urls
+
+    xml = ('<?xml version="1.0"?><urlset>'
+           "<url><loc>https://a.com/p?x=1&amp;y=2</loc></url>"
+           "<url><loc>https://a.com/q&amp;lt;</loc></url>"
+           "<url><loc>https://a.com/r</loc></url>"
+           "</urlset>")
+    sm = spark.createDataFrame([("a.com", xml)], "host string, xml string")
+    got = sorted(r.url for r in sitemap_urls(sm).collect())
+    assert got == ["https://a.com/p?x=1&y=2", "https://a.com/q&lt;",
+                   "https://a.com/r"]
+
+    crawled = spark.createDataFrame(
+        [("https://a.com/p?x=1&y=2",), ("https://a.com/zzz",)],
+        "url string")
+    gap = sorted((r.host, r.url) for r in sitemap_gap(sm, crawled).collect())
+    assert gap == [("a.com", "https://a.com/q&lt;"),
+                   ("a.com", "https://a.com/r")]
+
+
 def _pmi_py(texts, min_count, k):
     uni: dict[str, int] = {}
     bi: dict[str, int] = {}
@@ -272,3 +295,28 @@ def test_extract_keywords_hand_case(spark):
     # doc 0: 'rare' tf=2 idf=ln(3/1) beats 'common' tf=1 idf=ln(3/3)=0
     assert out[(0, 1)] == ("rare", round(2 * _m.log(3.0 / 1), 6))
     assert out[(0, 2)] == ("common", 0.0)
+
+
+def test_encoding_quality_counts(spark):
+    """Hand-checked mojibake/FFFD counts: the CP1252-damage digraphs
+    count, clean ASCII (including a bare A-tilde NOT followed by a
+    Latin-1 continuation char) does not."""
+    from colbert_spark.operators.textstats import encoding_quality
+
+    rows = [
+        (0, "plain clean ascii text"),
+        (1, "caf\u00c3\u00a9 nice"),                 # 1 moji digraph
+        (2, "it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d"),  # 3 cp1252 markers
+        (3, "bad\ufffd byte \ufffd\ufffd"),          # 3 replacement chars
+        (4, "\u00c3 alone is fine; \u00c30 too"),     # A-tilde + space/digit: no match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.fffd_count, r.mojibake_count, r.clean)
+           for r in encoding_quality(df).collect()}
+    assert got == {
+        0: (0, 0, True),
+        1: (0, 1, False),
+        2: (0, 3, False),
+        3: (3, 0, False),
+        4: (0, 0, True),
+    }
