@@ -6119,3 +6119,30 @@ SELECT doc_id, fffd_count, mojibake_count,
        (fffd_count = 0 AND mojibake_count = 0) AS clean
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# stateless (stream-capable) percolation (percolate.percolate_inrow)
+# ---------------------------------------------------------------------------
+
+def q_percolate_stream_alerts(spark, sf_dir):
+    """The stream-capable percolation shape over the full corpus with
+    OR semantics: matching computed in-row (array_intersect against
+    broadcast query-term arrays — zero shuffles, zero state; the same
+    expression runs unchanged on a Structured Stream, stream/batch
+    parity pytest-proven). The oracle replays the match contract
+    relationally."""
+    from colbert_spark.operators import percolate
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("pid"), "text")
+    return percolate.percolate_inrow(docs, _query_df(spark), mode="any")
+
+
+QUERIES["percolate_stream_alerts"] = q_percolate_stream_alerts
+
+ORACLE["percolate_stream_alerts"] = f"""
+WITH {_SQL_CORPUS_CTES},
+dterms AS (SELECT DISTINCT pid, term FROM tf)
+SELECT qt.qid, dterms.pid, CAST(count(*) AS BIGINT) AS matched
+FROM dterms JOIN qt USING (term) GROUP BY qt.qid, dterms.pid
+"""

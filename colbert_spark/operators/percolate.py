@@ -66,6 +66,62 @@ def percolate(
                        .alias("matched"))
 
 
+def percolate_inrow(
+    docs: DataFrame,
+    stored_queries: DataFrame,
+    mode: str = "all",
+    id_col: str = "pid",
+    text_col: str = "text",
+    doc_maxlen: int | None = 220,
+    query_maxlen: int | None = 32,
+) -> DataFrame:
+    """Stateless percolation — ONE definition for batch and streams.
+
+    Stored queries collapse to one broadcast row per query (qid,
+    distinct-term array); each document row computes matched =
+    size(array_intersect(its distinct tokens, the query's terms))
+    IN-ROW. No explode shuffle, no aggregation, no state — on a
+    Structured Streaming source every micro-batch emits its alerts
+    immediately (a document row is self-contained, so no watermark is
+    needed and nothing accumulates): the continuous-alerting half of
+    the percolator (Elasticsearch percolate-on-index use case).
+
+    Output is identical to percolate() for the same inputs
+    (pytest-proven, including on a real stream); queries that tokenize
+    to zero terms never alert in either shape. Cost is docs × Q in-row
+    intersections versus the batch join's docs × matched-terms — the
+    right trade for alerting, where Q is a registered standing set, not
+    a corpus; percolate() stays the batch-analytics path.
+    """
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+    qarr = (
+        stored_queries.select(
+            "qid",
+            F.array_distinct(analysis.tokens("text", query_maxlen))
+            .alias("qterms"),
+        )
+        .withColumn("n_terms", F.size("qterms"))
+        .filter(F.col("n_terms") > 0)
+    )
+    d = docs.select(
+        F.col(id_col).alias("pid"),
+        F.array_distinct(analysis.tokens(text_col, doc_maxlen))
+        .alias("_dt"),
+    )
+    j = d.crossJoin(F.broadcast(qarr)).select(
+        "qid", "pid",
+        F.size(F.array_intersect("_dt", "qterms")).alias("matched"),
+        "n_terms",
+    )
+    cond = (
+        F.col("matched") == F.col("n_terms") if mode == "all"
+        else F.col("matched") > 0
+    )
+    return j.filter(cond).select(
+        "qid", "pid", F.col("matched").cast("long").alias("matched"))
+
+
 def percolate_topn(
     docs: DataFrame,
     stored_queries: DataFrame,

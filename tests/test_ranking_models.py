@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+import pyspark.sql.functions as F
 
 from colbert_spark import caching
 from colbert_spark.functions.analysis import python_tokenize
@@ -197,6 +198,47 @@ def test_percolate_all_vs_any_and_topn_digest(spark):
 
     with pytest.raises(ValueError, match="mode"):
         percolate.percolate(docs, sq, mode="fuzzy")
+
+
+def test_percolate_inrow_batch_and_stream_parity(spark, tmp_path):
+    """The stateless in-row percolation must equal the explode+join
+    percolate() in batch (both modes, incl. an empty query never
+    alerting), and produce the same alerts when the documents arrive as
+    a two-micro-batch Structured Stream."""
+    from colbert_spark.operators import percolate
+
+    docs_rows = [(i, t) for i, t in DOCS]
+    docs = spark.createDataFrame(docs_rows, "pid long, text string")
+    sq = spark.createDataFrame(
+        [(0, "apple banana"), (1, "zz apple"), (2, "fig"), (3, "  ...  ")],
+        "qid long, text string")
+
+    want = {}
+    for mode in ("all", "any"):
+        want[mode] = sorted(
+            map(tuple, percolate.percolate(docs, sq, mode=mode).collect()))
+        got = sorted(map(tuple, percolate.percolate_inrow(
+            docs, sq, mode=mode).collect()))
+        assert got == want[mode], mode
+    # qid 3 tokenizes to nothing: must alert nowhere in either shape
+    assert all(r[0] != 3 for r in want["all"] + want["any"])
+
+    # stream the same docs in two micro-batches through the same op
+    src = str(tmp_path / "src")
+    docs.filter(F.col("pid") < 2).coalesce(1).write.parquet(src)
+    docs.filter(F.col("pid") >= 2).coalesce(1).write.mode("append") \
+        .parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    alerts = percolate.percolate_inrow(stream, sq, mode="all")
+    q = (alerts.writeStream.format("memory").queryName("percolate_sink")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got_stream = sorted(map(tuple,
+                            spark.table("percolate_sink").collect()))
+    assert got_stream == want["all"]
 
 
 def test_percolate_topn_presalt_identical(spark):
