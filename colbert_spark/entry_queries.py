@@ -6146,3 +6146,73 @@ dterms AS (SELECT DISTINCT pid, term FROM tf)
 SELECT qt.qid, dterms.pid, CAST(count(*) AS BIGINT) AS matched
 FROM dterms JOIN qt USING (term) GROUP BY qt.qid, dterms.pid
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture sampling (sampling.mix_by_temperature)
+# ---------------------------------------------------------------------------
+
+def q_domain_mix_temperature(spark, sf_dir):
+    """XLM-R-style temperature mixing at alpha=0.5 over a 3000-token
+    budget: stratum shares q_i = sqrt(p_i)/sum sqrt(p_j) flatten the
+    source distribution toward uniform; the whole share → target → ppm →
+    kept chain (with the round-before-floor guards that make pow()
+    replay across engines) is hash-checked."""
+    from colbert_spark.operators.sampling import mix_by_temperature
+
+    return mix_by_temperature(
+        _docs(spark, sf_dir), alpha=0.5, total_budget=3000,
+        portable_hash=True,
+    )
+
+
+QUERIES["domain_mix_temperature"] = q_domain_mix_temperature
+
+ORACLE["domain_mix_temperature"] = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+              '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n,
+         {_H_DOC42} % 1000000 AS bucket
+  FROM documents
+),
+t AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens
+  FROM b GROUP BY source
+),
+w AS (
+  SELECT *, pow(CAST(total_tokens AS DOUBLE), 0.5) AS wv FROM t
+),
+ws AS (SELECT sum(wv) AS wsum FROM w),
+p AS (
+  SELECT w.source, w.n_docs, w.total_tokens,
+         round(w.wv / ws.wsum, 9) AS share9
+  FROM w CROSS JOIN ws
+),
+p2 AS (
+  SELECT source, n_docs, total_tokens,
+         round(share9, 6) AS share,
+         CAST(floor(round(3000 * share9, 6)) AS BIGINT) AS target_tokens
+  FROM p
+),
+p3 AS (
+  SELECT *,
+         CASE WHEN total_tokens = 0 THEN CAST(1000000 AS BIGINT)
+              ELSE CAST(floor(least(1.0,
+                     round(target_tokens * 1.0 / total_tokens, 9))
+                   * 1000000) AS BIGINT) END AS keep_ppm
+  FROM p2
+),
+k AS (
+  SELECT b.source, count(*) AS kept_docs,
+         CAST(sum(b.n) AS BIGINT) AS kept_tokens
+  FROM b JOIN p3 ON b.source = p3.source
+  WHERE b.bucket < p3.keep_ppm GROUP BY b.source
+)
+SELECT p3.source, p3.n_docs, p3.total_tokens, p3.share, p3.target_tokens,
+       p3.keep_ppm,
+       CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM p3 LEFT JOIN k ON p3.source = k.source
+"""

@@ -142,3 +142,86 @@ def mix_by_token_budget(docs: DataFrame, budgets: dict[str, int],
         F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
         F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
     )
+
+
+def mix_by_temperature(docs: DataFrame, alpha: float, total_budget: int,
+                       strata_col: str = "source", id_col: str = "doc_id",
+                       text_col: str = "text", seed: int = 42,
+                       portable_hash: bool = False,
+                       summary: bool = True) -> DataFrame:
+    """Temperature-based mixture sampling (the XLM-R / multilingual-LM
+    recipe, Conneau et al. 2020 §3.1): stratum i's share of a
+    `total_budget` tokens is q_i = p_i^alpha / Σ_j p_j^alpha with
+    p_i the stratum's token share — alpha=1 keeps natural proportions,
+    alpha→0 flattens toward uniform (upweighting tail sources), values
+    between trade the two. Sampling is without replacement, so a stratum
+    whose target exceeds its size caps at keep-everything (the standard
+    caveat — temperature upsampling of tiny sources needs epoch
+    repetition, which is a training-loader concern, not a corpus one).
+
+    Same two-phase skew-free shape as mix_by_token_budget: one tiny
+    per-stratum token-total aggregate, then a broadcast ppm threshold on
+    the hash-uniform scan — the corpus never window-sorts per source.
+
+    Cross-engine determinism: pow() is not correctly-rounded in every
+    libm, so the share chain rounds at fixed points (share to 9
+    decimals, target via round-6-then-floor) before the ppm floor —
+    the repo's round-before-rank rule applied to thresholds; a 1-ulp
+    pow() wobble cannot flip a bucket unless the true value sits within
+    5e-13 of a rounding boundary. The DuckDB oracle replays the exact
+    chain.
+
+    summary=True → (stratum, n_docs, total_tokens, share, target_tokens,
+    keep_ppm, kept_docs, kept_tokens); summary=False → the kept doc rows.
+    """
+    from colbert_spark.functions import analysis
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    base = docs.select(
+        F.col(strata_col), F.col(id_col),
+        analysis.doclen(text_col).cast("long").alias("_n"),
+        _keep_hash(id_col, seed, portable_hash).alias("_bucket"),
+    )
+    totals = base.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("total_tokens"),
+    )
+    w = F.pow(F.col("total_tokens").cast("double"), F.lit(float(alpha)))
+    totals = totals.withColumn("_w", w)
+    # Σ weights as a 1-row crossJoin (the indexer's stats pattern — the
+    # totals table is #strata rows, no full-partition window idiom)
+    wsum = totals.agg(F.sum("_w").alias("_wsum"))
+    totals = totals.crossJoin(F.broadcast(wsum))
+    share = F.round(F.col("_w") / F.col("_wsum"), 9)
+    target = F.floor(F.round(F.lit(int(total_budget)) * share, 6))
+    ppm = F.when(
+        F.col("total_tokens") == 0, F.lit(_DENOM)
+    ).otherwise(
+        F.floor(F.least(F.lit(1.0),
+                        F.round(target / F.col("total_tokens"), 9))
+                * _DENOM)
+    ).cast("long")
+    totals = totals.select(
+        strata_col, "n_docs", "total_tokens",
+        F.round(share, 6).alias("share"),
+        target.cast("long").alias("target_tokens"),
+        ppm.alias("keep_ppm"),
+    )
+    kept_rows = base.join(
+        F.broadcast(totals.select(strata_col, "keep_ppm")), strata_col
+    ).filter(F.col("_bucket") < F.col("keep_ppm"))
+    if not summary:
+        return docs.join(kept_rows.select(id_col), id_col, "left_semi")
+    kept = kept_rows.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("_n").alias("kept_tokens"),
+    )
+    return totals.join(kept, strata_col, "left").select(
+        strata_col, "n_docs", "total_tokens", "share", "target_tokens",
+        "keep_ppm",
+        F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+    )

@@ -6,6 +6,7 @@ tables; these pin the operator semantics on adversarial corners)."""
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pyspark.sql.functions as F
 import pytest
@@ -221,3 +222,61 @@ def test_embedding_decontaminate_flag_and_clean(spark):
         corpus, ev, threshold=0.9, mode="clean"
     )
     assert {r["vec_id"] for r in clean.collect()} == {12, 13}
+
+
+def test_mix_by_temperature_python_replay_and_limits(spark):
+    """alpha=0.5 replayed exactly (shares, targets, ppm, kept sets);
+    alpha=1 reduces to proportional shares; alpha=0 to uniform shares;
+    an over-targeted tiny stratum caps at keep-everything."""
+    from colbert_spark.operators.sampling import mix_by_temperature
+
+    # srcA 160 tokens (40 docs x 4), srcB 40 tokens (10 docs x 4)
+    rows = [(i, "srcA" if i < 40 else "srcB", "w x y z") for i in range(50)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, source string, text string")
+
+    def replay(alpha, budget):
+        tot = {"srcA": 160, "srcB": 40}
+        ws = {s: t ** alpha for s, t in tot.items()}
+        wsum = sum(ws.values())
+        out = {}
+        for s, t in tot.items():
+            share = round(ws[s] / wsum, 9)
+            target = math.floor(round(budget * share, 6))
+            ppm = math.floor(min(1.0, round(target / tot[s], 9)) * 1_000_000)
+            out[s] = (round(share, 6), target, ppm)
+        return out
+
+    for alpha, budget in ((0.5, 100), (1.0, 100), (0.0, 100), (0.5, 10_000)):
+        summ = {r["source"]: r for r in mix_by_temperature(
+            docs, alpha, budget, portable_hash=True).collect()}
+        want = replay(alpha, budget)
+        for s, (share, target, ppm) in want.items():
+            r = summ[s]
+            assert (r["share"], r["target_tokens"], r["keep_ppm"]) == \
+                (share, target, ppm), (alpha, budget, s)
+
+    # alpha=1: shares proportional to token mass
+    s1 = {r["source"]: r["share"] for r in mix_by_temperature(
+        docs, 1.0, 100, portable_hash=True).collect()}
+    assert s1 == {"srcA": 0.8, "srcB": 0.2}
+    # alpha=0: uniform shares regardless of mass
+    s0 = {r["source"]: r["share"] for r in mix_by_temperature(
+        docs, 0.0, 100, portable_hash=True).collect()}
+    assert s0 == {"srcA": 0.5, "srcB": 0.5}
+    # big budget: every stratum caps at keep-everything
+    cap = {r["source"]: r["keep_ppm"] for r in mix_by_temperature(
+        docs, 0.5, 10_000, portable_hash=True).collect()}
+    assert cap == {"srcA": 1_000_000, "srcB": 1_000_000}
+
+    # row mode = exact replayed kept set at alpha=0.5, budget=100
+    want_half = replay(0.5, 100)
+    expect = sorted(
+        i for i, s in ((i, "srcA" if i < 40 else "srcB") for i in range(50))
+        if _keep_ppm_py(i) < want_half[s][2])
+    got = sorted(r["doc_id"] for r in mix_by_temperature(
+        docs, 0.5, 100, portable_hash=True, summary=False).collect())
+    assert got == expect
+
+    with pytest.raises(ValueError, match="alpha"):
+        mix_by_temperature(docs, -1.0, 100)
