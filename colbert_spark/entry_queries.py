@@ -6216,3 +6216,35 @@ SELECT p3.source, p3.n_docs, p3.total_tokens, p3.share, p3.target_tokens,
        CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
 FROM p3 LEFT JOIN k ON p3.source = k.source
 """
+
+
+# ---------------------------------------------------------------------------
+# indexed keyset pagination (Searcher.search_all(after=...))
+# ---------------------------------------------------------------------------
+
+def q_search_page2_indexed(spark, sf_dir):
+    """search_after over the REAL index: page 1 from the indexed
+    Searcher, its rank-10 rows as cursors, page 2 via
+    search_all(after=...) — exercising the cursor path through the
+    postings scan and wand kernels (gather disables the MaxScore
+    update-only skip under a cursor; scatter prunes before the rank
+    window). Must hash-match ranks 11-20 of the untouched deep BM25
+    oracle, rebased."""
+    s = _indexed_searcher(spark, sf_dir)
+    q = _query_df(spark)
+    page1 = s.search_all(q, k=10).df
+    cursors = page1.filter(F.col("rank") == 10).select(
+        "qid", F.col("score").alias("after_score"),
+        F.col("pid").alias("after_pid"))
+    out = s.search_all(q, k=10, after=cursors).df
+    return out.select("qid", "pid", F.col("rank").cast("long").alias("rank"),
+                      "score")
+
+
+QUERIES["search_page2_indexed"] = q_search_page2_indexed
+
+ORACLE["search_page2_indexed"] = f"""
+WITH {_SQL_CORPUS_CTES}, {_SQL_BM25_SCORED}
+SELECT qid, pid, CAST(rank - 10 AS BIGINT) AS rank, score
+FROM ranked WHERE rank > 10 AND rank <= 20
+"""

@@ -52,7 +52,8 @@ def _term_scores(tfs: np.ndarray, dls: np.ndarray, idf: float,
 
 
 def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float,
-                       excluded: "tuple[np.ndarray, np.ndarray] | None" = None
+                       excluded: "tuple[np.ndarray, np.ndarray] | None" = None,
+                       after: "tuple[float, int] | None" = None,
                        ) -> tuple[np.ndarray, np.ndarray]:
     """MaxScore kernel for ONE query's blocks → (top pids, top scores).
 
@@ -64,6 +65,16 @@ def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float,
     tombstones. A pid is dropped only from blocks whose epoch
     (block_id >> 32) < its before_epoch, so a re-added pid's newer
     postings survive while its removed-era postings are excluded.
+
+    after: (after_score, after_pid) keyset cursor — return the top-k
+    strictly after it in (-score, pid) order (search_after pagination).
+    A cursor DISABLES the MaxScore update-only skip: the skip's
+    threshold comes from the k best accumulated candidates, but under a
+    cursor a high partial score may belong to a doc the cursor will
+    exclude, so that threshold can overestimate the true k-th ELIGIBLE
+    score and wrongly prune page-2 docs. Paginated queries therefore
+    score every candidate posting exactly (the filter applies to the
+    final rounded scores, matching the round-6-then-rank contract).
     """
     # per-term upper bound = max over its blocks (no decode needed)
     by_term = pdf.groupby("term_id", sort=False)
@@ -83,7 +94,7 @@ def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float,
             -np.inf if acc_pids.size < k
             else np.partition(acc_scores, acc_scores.size - k)[acc_scores.size - k]
         )
-        essential = suffix_ub[i] >= theta
+        essential = after is not None or suffix_ub[i] >= theta
         new_p, new_s = [acc_pids], [acc_scores]
         for fp, lp, bid, pb, tb, db in zip(
             g["first_pid"], g["last_pid"], g["block_id"], g["pids"],
@@ -124,6 +135,12 @@ def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float,
     if acc_pids.size == 0:
         return acc_pids, acc_scores
     rounded = np.round(acc_scores, SCORE_DECIMALS)
+    if after is not None:
+        a_s, a_p = after
+        keep = (rounded < a_s) | ((rounded == a_s) & (acc_pids > a_p))
+        acc_pids, rounded = acc_pids[keep], rounded[keep]
+        if acc_pids.size == 0:
+            return acc_pids, rounded
     kk = min(k, acc_pids.size)
     # total order (-score, pid), reference server.py:34
     top = np.lexsort((acc_pids, -rounded))[:kk]
@@ -131,7 +148,8 @@ def score_query_blocks(pdf: pd.DataFrame, k: int, avgdl: float,
 
 
 def topk_gather(query_blocks: DataFrame, k: int, avgdl: float,
-                excluded: "tuple[np.ndarray, np.ndarray] | None" = None
+                excluded: "tuple[np.ndarray, np.ndarray] | None" = None,
+                after: "dict[int, tuple[float, int]] | None" = None,
                 ) -> DataFrame:
     """query_blocks: (qid, term_id, block_id, idf, first_pid, last_pid,
     max_block_score, pids, tfs, dls) → ranking(qid, pid, rank, score).
@@ -139,6 +157,9 @@ def topk_gather(query_blocks: DataFrame, k: int, avgdl: float,
     One applyInPandas group per qid; the kernel does the skipping.
     excluded: (sorted pids, aligned before_epochs) — epoch-aware
     tombstones dropped after decode (see score_query_blocks).
+    after: {qid: (after_score, after_pid)} keyset cursors — a cursor-
+    bearing qid returns its next page (see score_query_blocks; cursors
+    are per-query-batch tiny, so the dict rides the task closure).
     """
     excluded = (
         None if excluded is None or excluded[0].size == 0 else excluded
@@ -146,7 +167,9 @@ def topk_gather(query_blocks: DataFrame, k: int, avgdl: float,
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iloc[0])
-        pids, scores = score_query_blocks(pdf, k, avgdl, excluded=excluded)
+        pids, scores = score_query_blocks(
+            pdf, k, avgdl, excluded=excluded,
+            after=None if after is None else after.get(qid))
         return pd.DataFrame(
             {
                 "qid": qid,
@@ -163,7 +186,8 @@ def topk_scatter(blocks: DataFrame, qterms: DataFrame, k: int,
                  avgdl: float, qid_to_pids: DataFrame | None = None,
                  tombstones: DataFrame | None = None,
                  allow_small: bool = False,
-                 tombstones_small: bool = True) -> DataFrame:
+                 tombstones_small: bool = True,
+                 after: DataFrame | None = None) -> DataFrame:
     """Score blocks in place (no per-query gather), then relational top-k.
 
     Each block is decoded ONCE regardless of how many queries share the
@@ -250,6 +274,17 @@ def topk_scatter(blocks: DataFrame, qterms: DataFrame, k: int,
     agg = scored.groupBy("qid", "pid").agg(
         F.round(F.sum("s"), SCORE_DECIMALS).alias("score")
     )
+    if after is not None:
+        # keyset cursor (search_after): prune everything at or above the
+        # cursor BEFORE the rank window — page cost O(page), not O(depth).
+        # Exact rounded scores are already in hand here, so no pruning
+        # soundness caveat applies (contrast the gather kernel).
+        cur = after.select("qid", "after_score", "after_pid")
+        agg = agg.join(F.broadcast(cur), "qid").filter(
+            (F.col("score") < F.col("after_score"))
+            | ((F.col("score") == F.col("after_score"))
+               & (F.col("pid") > F.col("after_pid")))
+        ).drop("after_score", "after_pid")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("pid"))
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -139,6 +139,7 @@ class Searcher:
         mode: str = "auto",
         qid_to_pids: DataFrame | None = None,
         allow_small: bool = False,
+        after: DataFrame | None = None,
     ) -> Ranking:
         """Batch retrieval → Ranking. mode ∈ {auto, gather, scatter}.
 
@@ -154,11 +155,32 @@ class Searcher:
         asserts the list fits a broadcast; by default the semi-join is left
         unhinted so an O(corpus) allow-list cannot force an OOM broadcast
         (AQE still broadcasts at runtime when it is small).
+
+        after: optional (qid, after_score, after_pid) keyset-cursor
+        DataFrame — ES search_after pagination over the index. Only
+        cursor-bearing qids are searched (a cursor means "continue this
+        query"; exhausted queries simply have no cursor), and each
+        returns its next page strictly after the cursor in (-score, pid)
+        order, rank rebased 1..k. Scatter prunes at or above the cursor
+        BEFORE the rank window (O(page) cost); gather filters exact
+        rounded scores in the kernel with MaxScore's update-only skip
+        disabled (the cursor breaks that skip's threshold soundness —
+        see wand.score_query_blocks). Same row contract as
+        brute.bm25_search_after (equivalence pytest-proven).
         """
         if isinstance(queries, dict):
             queries = self.spark.createDataFrame(
                 list(queries.items()), "qid long, text string"
             )
+        after_rows = None
+        if after is not None:
+            after = after.select("qid", "after_score", "after_pid")
+            # cursors are per-query-batch tiny; one collect serves both the
+            # query restriction and the gather kernel's closure dict
+            after_rows = after.collect()
+            paging = self.spark.createDataFrame(
+                [(int(r["qid"]),) for r in after_rows], "qid long")
+            queries = queries.join(F.broadcast(paging), "qid", "left_semi")
         qterms = self._query_terms(queries).persist()
         # ONE driver action answers everything the planner needs: cube
         # gives the vocab-bounded per-term rows (→ scan-pruning tid list)
@@ -198,14 +220,23 @@ class Searcher:
                                         qid_to_pids=qid_to_pids,
                                         tombstones=tomb_df,
                                         allow_small=allow_small,
-                                        tombstones_small=tomb_small)
+                                        tombstones_small=tomb_small,
+                                        after=after)
         else:
             qblocks = blocks.join(F.broadcast(qterms), "term_id").select(
                 "qid", "term_id", "block_id", "idf", "first_pid", "last_pid",
                 "max_block_score", "pids", "tfs", "dls",
             )
+            cursor_map = None
+            if after_rows is not None:
+                cursor_map = {
+                    int(r["qid"]): (float(r["after_score"]),
+                                    int(r["after_pid"]))
+                    for r in after_rows
+                }
             ranking = wand.topk_gather(qblocks, k, self.avgdl,
-                                       excluded=self.tombstones)
+                                       excluded=self.tombstones,
+                                       after=cursor_map)
         return Ranking(ranking, self._provenance(k, mode))
 
     def search(self, text: str, k: int = 10,

@@ -97,6 +97,48 @@ def test_pid_allowlist_filter(spark, built):
     assert pids[0] == full_pids[2]
 
 
+def test_search_after_indexed_both_modes(spark, built):
+    """Indexed keyset pagination: page 2 via a rank-5 cursor must equal
+    ranks 6-10 of the deep ranking rebased, in BOTH gather and scatter
+    modes, and match brute.bm25_search_after row-for-row. Queries
+    without a cursor are not searched (continue-only contract)."""
+    import pyspark.sql.functions as F
+
+    from colbert_spark.operators.brute import bm25_search_after
+
+    docs, queries, _, _, searcher = built
+    deep = searcher.search_all(queries, k=15).df.collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(deep, key=lambda r: (r.qid, r.rank)):
+        by_q.setdefault(r.qid, []).append((r.pid, r.score))
+    cur_rows = [(q, rows[4][1], rows[4][0])
+                for q, rows in by_q.items() if len(rows) >= 5]
+    assert len(cur_rows) >= 5  # fixture sanity: enough deep queries
+    # drop one cursor: that qid must disappear from every page-2 result
+    dropped = cur_rows[0][0]
+    cursors = spark.createDataFrame(
+        cur_rows[1:], "qid long, after_score double, after_pid long")
+
+    want = sorted(
+        (q, i + 1, rows[5 + i][0], rows[5 + i][1])
+        for q, rows in by_q.items()
+        if len(rows) >= 5 and q != dropped
+        for i in range(min(5, len(rows) - 5)))
+
+    for mode in ("gather", "scatter"):
+        got = sorted(
+            (r.qid, r.rank, r.pid, r.score)
+            for r in searcher.search_all(queries, k=5, mode=mode,
+                                         after=cursors).df.collect())
+        assert got == want, mode
+        assert all(q != dropped for q, *_ in got)
+
+    brute_got = sorted(
+        (r.qid, r.rank, r.pid, r.score)
+        for r in bm25_search_after(docs, queries, cursors, k=5).collect())
+    assert brute_got == want
+
+
 def test_overwrite_modes(spark, built, cfg):
     docs, _, _, _, _ = built
     with pytest.raises(FileExistsError):
