@@ -65,14 +65,32 @@ def tokenize_docs(
     matrix (colbert/modeling/colbert.py:95-115): one row per distinct term
     per document instead of one vector per token.
 
-    Implementation note: explode + groupBy(pid, term) — the groupBy's
-    map-side combine collapses duplicate (pid, term) rows before the
-    exchange, so the shuffle carries one row per distinct (doc, term).
-    A shuffle-free in-row formulation was tried and measured SLOWER:
-    Catalyst's project-collapse inlines intermediate array expressions
-    into every lambda element access, turning O(L log L) per row into
-    O(L² log L) (see git history); the plain aggregation is both idiomatic
-    and fastest.
+    r6: delegates to the shuffle-free Arrow kernel (tokenize_docs_arrow)
+    — same rows (equivalence-pytested incl. unicode), one less
+    corpus-sized exchange than the relational explode + groupBy
+    formulation, which every query-path operator previously paid per
+    call. The relational form stays as tokenize_docs_relational (the
+    pure-Catalyst reference the kernel is tested against).
+    """
+    return tokenize_docs_arrow(docs, id_col=id_col, text_col=text_col,
+                               maxlen=maxlen)
+
+
+def tokenize_docs_relational(
+    docs: DataFrame,
+    id_col: str = "pid",
+    text_col: str = "text",
+    maxlen: int | None = None,
+) -> DataFrame:
+    """Pure-Catalyst (id, term, tf, doclen) — explode + groupBy(pid, term)
+    with map-side combine, ONE exchange of one row per distinct
+    (doc, term). Kept as the equivalence oracle for the Arrow kernel and
+    for plans that must stay pure Catalyst expressions.
+
+    Implementation note: a shuffle-free in-row formulation was tried and
+    measured SLOWER: Catalyst's project-collapse inlines intermediate
+    array expressions into every lambda element access, turning
+    O(L log L) per row into O(L² log L) (see git history).
     """
     toks = docs.select(
         F.col(id_col),
@@ -213,8 +231,11 @@ def tokenize_docs_arrow(
                 }
             )
 
+    # preserve the id column's type (pids are longs, but anchor/url
+    # tokenization passes string ids)
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
-        run, schema=f"{id_col} long, doclen int, term string, tf long"
+        run, schema=f"{id_col} {id_type}, doclen int, term string, tf long"
     )
 
 

@@ -188,26 +188,132 @@ def build_postings(
                             idf_table=term_dict.select("term_id", "idf"))
 
 
+def _make_partition_block_kernel(block_size: int, avgdl: float, k1: float,
+                                 b: float):
+    """mapInPandas kernel over partitions pre-shuffled on (term_id, salt)
+    and sorted within each partition by (term_id, salt, pid): walks group
+    boundaries with numpy and emits POSTINGS_SCHEMA rows.
+
+    Same math, row-for-row, as _make_block_builder — but one Python/Arrow
+    round-trip per PARTITION BATCH instead of per (term_id, salt) group
+    (tail terms make groups tiny and numerous, so the per-group pandas
+    construction dominated the build's blockify stage before r6). The
+    trailing group of each Arrow batch can straddle the batch boundary;
+    it is carried forward and emitted when its last row has arrived.
+    Memory bound is unchanged: the carry is one group, and group size is
+    bounded by config.max_group_postings via the df-proportional salts.
+    """
+    out_cols = ["term_id", "block_id", "first_pid", "last_pid",
+                "num_postings", "max_block_score", "pids", "tfs", "dls",
+                "enc_bytes"]
+
+    def build_group(rows: list, term_id: int, salt: int, pids: np.ndarray,
+                    tfs: np.ndarray, dls: np.ndarray, idf: float) -> None:
+        # input arrives pid-sorted (the partition sort); duplicate
+        # postings for a (term, pid) — corrupted/overlapping segments —
+        # are sorted-adjacent and still trip this guard
+        if pids.size > 1 and bool(np.any(pids[1:] == pids[:-1])):
+            raise ValueError(f"term {term_id}: duplicate pids in segments")
+        tff = tfs.astype(np.float64)
+        dlf = dls.astype(np.float64)
+        scores = idf * tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlf / avgdl))
+        n = pids.size
+        for i, start in enumerate(range(0, n, block_size)):
+            sl = slice(start, min(start + block_size, n))
+            bp, bt, bd = pids[sl], tfs[sl], dls[sl]
+            ep, et, ed = encode_pids(bp), encode_tfs(bt), encode_tfs(bd)
+            rows.append((
+                term_id, (salt << 32) | i, int(bp[0]), int(bp[-1]),
+                int(bp.size), float(scores[sl].max()), ep, et, ed,
+                len(ep) + len(et) + len(ed),
+            ))
+
+    def run(batches):
+        carry: list[tuple] = []     # (tid, salt, pids, tfs, dls, idf) slices
+        carry_key = None
+
+        def flush(rows: list) -> None:
+            if carry_key is None:
+                return
+            p = np.concatenate([c[2] for c in carry])
+            t = np.concatenate([c[3] for c in carry])
+            d = np.concatenate([c[4] for c in carry])
+            build_group(rows, carry_key[0], carry_key[1], p, t, d,
+                        carry[0][5])
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tid = pdf["term_id"].to_numpy()
+            salt = pdf["salt"].to_numpy()
+            p_all = pdf["pid"].to_numpy().astype(np.int64, copy=False)
+            t_all = pdf["tf"].to_numpy().astype(np.int64, copy=False)
+            d_all = pdf["doclen"].to_numpy().astype(np.int64, copy=False)
+            idf_all = pdf["idf"].to_numpy()
+            bounds = np.flatnonzero(
+                (tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
+            rows: list[tuple] = []
+            start = 0
+            if carry_key is not None:
+                if (int(tid[0]), int(salt[0])) == carry_key:
+                    if bounds.size == 0:  # whole batch continues the carry
+                        carry.append((None, None, p_all, t_all, d_all,
+                                      float(idf_all[0])))
+                        continue
+                    start = int(bounds[0])
+                    carry.append((None, None, p_all[:start], t_all[:start],
+                                  d_all[:start], float(idf_all[0])))
+                flush(rows)
+                carry, carry_key = [], None
+            # complete groups inside this batch: [start, last_bound)
+            inner = bounds[bounds > start]
+            for end in inner:
+                e = int(end)
+                build_group(rows, int(tid[start]), int(salt[start]),
+                            p_all[start:e], t_all[start:e], d_all[start:e],
+                            float(idf_all[start]))
+                start = e
+            # trailing partial group → carry
+            carry_key = (int(tid[start]), int(salt[start]))
+            carry = [(None, None, p_all[start:], t_all[start:],
+                      d_all[start:], float(idf_all[start]))]
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+        rows = []
+        flush(rows)
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return run
+
+
 def _salted_blockify(enriched: DataFrame, avgdl: float,
                      config: ColBERTConfig,
                      idf_table: DataFrame | None = None) -> DataFrame:
     """(term_id, pid, tf, doclen[, idf], salt) → bounded-group posting
     blocks.
 
-    Shared by the fresh build and compaction: ONE repartition on
-    (term_id, salt), the numpy block kernel per group, bucket column for
-    partition-pruned storage. When idf_table is given, `enriched` must
-    NOT carry idf — it broadcast-joins in AFTER the exchange (the join
-    preserves the exchange's partitioning, so the groupBy stays
-    exchange-free) and the corpus-sized shuffle never moves the
-    per-term double.
+    Shared by the fresh build, compaction, merge and append: ONE
+    repartition on (term_id, salt), a partition-local sort on
+    (term_id, salt, pid), then the numpy block kernel once per partition
+    (mapInPandas — no per-group pandas round-trips; groupBy.applyInPandas
+    performs the identical shuffle+sort internally but pays the Python
+    boundary per group). Bucket column for partition-pruned storage.
+    When idf_table is given, `enriched` must NOT carry idf — it
+    broadcast-joins in AFTER the exchange (the join preserves the
+    exchange's partitioning — no second exchange) and the corpus-sized
+    shuffle never moves the per-term double.
     """
-    kernel = _make_block_builder(config.block_size, avgdl, config.k1, config.b)
+    kernel = _make_partition_block_kernel(config.block_size, avgdl,
+                                          config.k1, config.b)
     rep = enriched.repartition(config.shuffle_partitions, "term_id", "salt")
     if idf_table is not None:
         rep = rep.join(F.broadcast(idf_table), "term_id")
-    blocks = rep.groupBy("term_id", "salt").applyInPandas(
-        kernel, schema=POSTINGS_SCHEMA)
+    blocks = (
+        rep.select("term_id", "salt", "pid", "tf", "doclen", "idf")
+        .sortWithinPartitions("term_id", "salt", "pid")
+        .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
+    )
     return blocks.withColumn(
         "bucket", F.pmod(F.col("term_id"), F.lit(config.index_partitions))
     )
@@ -232,24 +338,35 @@ def decode_blocks_flat(blocks: DataFrame) -> DataFrame:
     )
 
     def decode_flat(batches):
+        # per-block decodes land in flat lists and concatenate ONCE per
+        # Arrow batch (one output DataFrame instead of one per block —
+        # the per-block pandas construction dominated merge/coalesce
+        # decode time before r6)
         for pdf in batches:
-            out = []
-            for term_id, block_id, pb, tb, db in zip(
-                pdf["term_id"], pdf["block_id"], pdf["pids"], pdf["tfs"],
-                pdf["dls"]
-            ):
+            n_blocks = len(pdf)
+            if not n_blocks:
+                continue
+            pids_l, tfs_l, dls_l = [], [], []
+            sizes = np.empty(n_blocks, dtype=np.int64)
+            for i, (pb, tb, db) in enumerate(zip(
+                pdf["pids"], pdf["tfs"], pdf["dls"]
+            )):
                 p = decode_pids(bytes(pb))
-                out.append(pd.DataFrame({
-                    "term_id": term_id,
-                    "pid": p,
-                    "tf": decode_tfs(bytes(tb)),
-                    "doclen": decode_tfs(bytes(db)),
-                    # block epoch (salt namespace) — the tombstone fold is
-                    # epoch-bounded: a re-added pid's NEW postings survive
-                    "epoch": int(block_id) >> 32,
-                }))
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                sizes[i] = p.size
+                pids_l.append(p)
+                tfs_l.append(decode_tfs(bytes(tb)))
+                dls_l.append(decode_tfs(bytes(db)))
+            tid = np.repeat(pdf["term_id"].to_numpy(), sizes)
+            # block epoch (salt namespace) — the tombstone fold is
+            # epoch-bounded: a re-added pid's NEW postings survive
+            epoch = np.repeat(pdf["block_id"].to_numpy() >> 32, sizes)
+            yield pd.DataFrame({
+                "term_id": tid,
+                "pid": np.concatenate(pids_l),
+                "tf": np.concatenate(tfs_l),
+                "doclen": np.concatenate(dls_l),
+                "epoch": epoch,
+            })
 
     return blocks.select("term_id", "block_id", "pids", "tfs", "dls") \
         .mapInPandas(

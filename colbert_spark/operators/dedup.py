@@ -292,17 +292,97 @@ def minhash_lsh_pairs(
     return est.filter(F.col("est_jaccard") >= threshold)
 
 
+def _make_simhash_kernel(id_col: str, text_col: str, kind: str,
+                         out_cols: list[str]):
+    """mapInPandas kernel: docs batch → one signature row per doc that
+    tokenizes to ≥ 1 term. Tokenize (the shared Arrow kernel), fold
+    (doc, term) tf counts, hash the batch vocabulary with the JVM-exact
+    replica (functions.hashing — pytest-enforced bit parity), then per
+    hash lane compute the 64 bit votes as reduceat segment sums:
+    vote_b = Σ±tf = 2·Σ(tf·bit_b) − Σtf, bit set iff vote > 0 (identical
+    arithmetic to the 64-aggregate JVM fold this replaces — integer ops
+    only, no float drift possible)."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        from colbert_spark.functions import hashing
+        from colbert_spark.functions.analysis import _tokenize_batch_pyarrow
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            _, doc_idx, flat = _tokenize_batch_pyarrow(
+                list(pdf[text_col]), None)
+            if flat.size == 0:
+                continue
+            enc = pa.array(flat, type=pa.string()).dictionary_encode()
+            codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                               dtype=np.int64)
+            vocab = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+            v_sz = len(vocab)
+            key = doc_idx.astype(np.int64) * v_sz + codes
+            ukey, tf = np.unique(key, return_counts=True)
+            out_doc = ukey // v_sz          # sorted nondecreasing
+            out_code = ukey % v_sz
+            starts = np.flatnonzero(
+                np.concatenate(([True], out_doc[1:] != out_doc[:-1])))
+            docs_u = out_doc[starts]
+            total = np.add.reduceat(tf, starts)
+            cols = {id_col: ids[docs_u]}
+            for name, h_vocab in zip(out_cols,
+                                     hashing.hash_terms(vocab, kind)):
+                h = h_vocab[out_code].astype(np.uint64)
+                sig = np.zeros(docs_u.size, dtype=np.uint64)
+                for b in range(64):
+                    bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                    vote = 2 * np.add.reduceat(tf * bit, starts) - total
+                    sig |= (vote > 0).astype(np.uint64) << np.uint64(b)
+                cols[name] = sig.view(np.int64)
+            yield pd.DataFrame(cols)
+
+    return run
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure a map-heavy kernel input has at least default-parallelism
+    partitions. A small corpus arrives as one scan split (files under
+    maxPartitionBytes), and a pure map stage inherits that — the old
+    relational formulations were insulated by their aggregation
+    exchanges. Round-robin repartition only when under-split (guide-
+    style 'repartition immediately after the read'); a well-split scan
+    (any real corpus) passes through untouched, so no corpus-sized
+    shuffle is ever added at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", portable_hash: bool = False) -> DataFrame:
     """(id, simhash: long) 64-bit SimHash over tf-weighted term hashes.
 
-    Pure JVM: per-bit votes are 64 conditional-sum aggregates over the
-    (id, term-hash, tf) rows — whole-stage codegen with map-side partial
-    aggregation, so the one shuffle carries 64 partial longs per doc
-    instead of every (doc, term) row to a Python group (the previous
-    per-doc applyInPandas fold paid Python overhead per document and
-    could not combine map-side).
+    ONE shuffle-free corpus pass (mapInPandas): a doc's signature is a
+    pure function of its own tokens, so tokenize + tf fold + bit votes
+    all happen row-locally in the Arrow kernel — no explode, no
+    (id, term) exchange, no 64-aggregate fold stage. Bit-identical to
+    the relational formulation (simhash64_sql, kept as the equivalence
+    oracle): the term hash is the JVM-exact replica in
+    functions.hashing and the vote arithmetic is integer-only.
     """
+    kernel = _make_simhash_kernel(id_col, text_col,
+                                  "md64" if portable_hash else "xx64",
+                                  ["simhash"])
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        kernel, schema=f"{id_col} long, simhash long")
+
+
+def simhash64_sql(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  portable_hash: bool = False) -> DataFrame:
+    """Relational SimHash (the pre-r6 formulation): per-bit votes as 64
+    conditional-sum JVM aggregates. Kept as the pure-Catalyst reference
+    the Arrow kernel is equivalence-tested against."""
     term_h = (
         docs.select(F.col(id_col), F.explode(analysis.tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
@@ -358,7 +438,23 @@ def simhash128(docs: DataFrame, id_col: str = "doc_id",
     replayable in DuckDB. Portable halves carry 60 effective bits each
     (top 4 bits always vote negative) — blocking/recall guarantees are
     unaffected, selectivity is marginally lower.
+
+    Same ONE-pass Arrow kernel as simhash64 (signatures are row-local;
+    no exchange, no 128-aggregate fold stage); bit parity with the
+    relational form (simhash128_sql) is pytest-enforced.
     """
+    kernel = _make_simhash_kernel(id_col, text_col,
+                                  "md128" if portable_hash else "xx128",
+                                  ["simhash_lo", "simhash_hi"])
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        kernel, schema=f"{id_col} long, simhash_lo long, simhash_hi long")
+
+
+def simhash128_sql(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   portable_hash: bool = False) -> DataFrame:
+    """Relational 128-bit SimHash (pre-r6 formulation; the equivalence
+    oracle for the Arrow kernel)."""
     tf = (
         docs.select(F.col(id_col), F.explode(analysis.tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
@@ -416,18 +512,28 @@ def simhash_near_pairs128(docs: DataFrame, max_hamming: int = 10,
         for kid, combo in enumerate(itertools.combinations(range(k), c))
     ]
     banded = sigs.select(
-        id_col, "simhash_lo", "simhash_hi",
-        F.explode(F.expr(f"array({', '.join(keys)})")).alias("bh"),
+        id_col, F.explode(F.expr(f"array({', '.join(keys)})")).alias("bh"),
     )
-    a = banded.select(F.col(id_col).alias("a"), F.col("simhash_lo").alias("la"),
-                      F.col("simhash_hi").alias("ha"), "bh")
-    b = banded.select(F.col(id_col).alias("b"), F.col("simhash_lo").alias("lb"),
-                      F.col("simhash_hi").alias("hb"), "bh")
+    # candidate election is SLIM (a, b) only — a qualifying pair collides
+    # on many bands, and carrying the signatures through the
+    # dropDuplicates aggregation made the partial-agg hash maps and the
+    # one exchange move value payloads for every duplicated candidate
+    # row (r6 measurement: the fat dedup dominated the probe).
+    # Signatures re-attach AFTER dedup from the persisted sig table
+    # (unhinted joins — AQE broadcasts the sig table when it is small).
+    a = banded.select(F.col(id_col).alias("a"), "bh")
+    b = banded.select(F.col(id_col).alias("b"), "bh")
     cands = (
         a.join(b, "bh").filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
+        .select("a", "b").dropDuplicates(["a", "b"])
     )
-    out = cands.select(
+    out = cands.join(
+        sigs.select(F.col(id_col).alias("a"), F.col("simhash_lo").alias("la"),
+                    F.col("simhash_hi").alias("ha")), "a",
+    ).join(
+        sigs.select(F.col(id_col).alias("b"), F.col("simhash_lo").alias("lb"),
+                    F.col("simhash_hi").alias("hb")), "b",
+    ).select(
         "a", "b",
         (F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
          + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))).cast("long")
@@ -615,16 +721,24 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         for kid, combo in enumerate(itertools.combinations(range(k), c))
     ]
     banded = sigs.select(
-        id_col, "simhash",
-        F.explode(F.expr(f"array({', '.join(keys)})")).alias("bh"),
+        id_col, F.explode(F.expr(f"array({', '.join(keys)})")).alias("bh"),
     )
-    a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "bh")
-    b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "bh")
+    # slim (a, b) candidate election; signatures re-attach post-dedup
+    # (see simhash_near_pairs128 — the fat dedup was the r6-measured
+    # bottleneck of this probe)
+    a = banded.select(F.col(id_col).alias("a"), "bh")
+    b = banded.select(F.col(id_col).alias("b"), "bh")
     cands = (
         a.join(b, "bh").filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
+        .select("a", "b").dropDuplicates(["a", "b"])
     )
-    out = cands.select(
+    out = cands.join(
+        sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha")),
+        "a",
+    ).join(
+        sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb")),
+        "b",
+    ).select(
         "a", "b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
         .alias("hamming"),

@@ -90,10 +90,15 @@ def lsh_signature_col(vec_col, planes: np.ndarray):
     return sig.cast("long")
 
 
-#: past this many plane-literal terms (dim × planes × tables), the codegen
-#: expression tree for sign(dot) stops being sane — switch to one Arrow
-#: matmul pass (V @ P.T) per partition
-_LSH_EXPR_LIMIT = 4096
+#: past this many plane-literal terms (dim × planes × tables), the
+#: literal-expression form for sign(dot) loses to one Arrow matmul pass
+#: (V @ P.T) per partition. r6: measured on the sf embeddings (dim 64 ×
+#: 8 planes × 6 tables = 3072 literal terms), Catalyst analysis+codegen
+#: of the 3072-term tree dominated the whole near-pair probe; the matmul
+#: kernel computes identical buckets (sign parity pytested) in one
+#: vectorized pass, so the expr path is now reserved for genuinely tiny
+#: plane sets.
+_LSH_EXPR_LIMIT = 512
 
 
 def _lsh_buckets_pandas(df: DataFrame, id_name: str, vec_name: str,

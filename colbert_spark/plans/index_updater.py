@@ -126,10 +126,26 @@ class IndexUpdater:
         added = docs.select(F.col(id_col).alias("pid")).distinct()
         tombs = load_tombstones(self.catalog, self.spark)
         live = self.catalog.read(self.spark, "doc_stats").select("pid")
+        # ONE driver action answers both planner questions (job-count
+        # discipline — each action costs fixed scheduling latency): the
+        # live-pid clash count AND whether any added pid re-adds a
+        # tombstoned one (decides the tombstone restamp below without a
+        # separate take(1) job)
+        clash_agg = live.join(added, "pid", "left_semi").agg(
+            F.count(F.lit(1)).alias("n"))
         if tombs is not None:
             active = tombs.filter(F.col("readded").isNull()).select("pid")
-            live = live.join(active, "pid", "left_anti")
-        clash = live.join(added, "pid", "left_semi").count()
+            clash_agg = (
+                live.join(active, "pid", "left_anti")
+                .join(added, "pid", "left_semi")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            readd_agg = tombs.join(added, "pid", "left_semi").agg(
+                F.count(F.lit(1)).alias("nr"))
+            row = clash_agg.crossJoin(readd_agg).collect()[0]
+            clash, n_readd = int(row["n"]), int(row["nr"])
+        else:
+            clash, n_readd = int(clash_agg.collect()[0]["n"]), 0
         if clash:
             raise ValueError(
                 f"{clash} pid(s) already live in the index; remove() them first"
@@ -152,18 +168,11 @@ class IndexUpdater:
                 "idf", bm25f.idf(F.lit(0), self.num_docs)
             ).alias("idf"),
         )
-        # reuse the build kernel, in this append's disjoint epoch namespace
-        kernel = builder._make_block_builder(cfg.block_size, self.avgdl,
-                                             cfg.k1, cfg.b)
-        from colbert_spark.sources.catalog import POSTINGS_SCHEMA
-
-        blocks = (
-            enriched.withColumn("salt", F.lit(epoch))
-            .groupBy("term_id", "salt")
-            .applyInPandas(kernel, schema=POSTINGS_SCHEMA)
-            .withColumn(
-                "bucket", F.pmod(F.col("term_id"), F.lit(cfg.index_partitions))
-            )
+        # reuse the build blockify (partition-sorted mapInPandas kernel),
+        # in this append's disjoint epoch namespace; idf rides inline
+        blocks = builder._salted_blockify(
+            enriched.withColumn("salt", F.lit(epoch).cast("long")),
+            self.avgdl, cfg,
         )
         # co-locate each bucket into one task before the partitionBy write
         # (mirrors the build write, indexer.py). Without this, hash-by-
@@ -189,25 +198,35 @@ class IndexUpdater:
                 bm25f.idf(F.lit(0), self.num_docs).alias("idf"),
             )
         )
-        self.catalog.write(new_terms, "term_dict", mode="append")
         # doc_stats: drop any stale row for re-added pids, append the new
         # ones; catalog.replace keeps the swap atomic-ish and distributed
         old_stats = self.catalog.read(self.spark, "doc_stats").join(
             added, "pid", "left_anti"
         )
         merged_stats = old_stats.unionByName(builder.doc_stats(token_df))
-        self.catalog.replace(merged_stats, "doc_stats")
+        # the three finalize mutations touch independent tables — overlap
+        # their fixed per-job scheduling latencies in one pool (the
+        # Indexer's finalize discipline)
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = [
+            lambda: self.catalog.write(new_terms, "term_dict", mode="append"),
+            lambda: self.catalog.replace(merged_stats, "doc_stats"),
+        ]
         # stamp re-added pids live again (their tombstone row keeps
         # excluding the OLD postings — epoch bound — while this epoch's
-        # postings score normally)
-        if tombs is not None:
+        # postings score normally); n_readd came from the clash action
+        if tombs is not None and n_readd:
             readded = (
                 tombs.join(added, "pid", "left_semi")
                 .withColumn("readded", F.lit(epoch))
             )
-            if readded.take(1):
-                rest = tombs.join(added, "pid", "left_anti")
-                self.catalog.replace(rest.unionByName(readded), "tombstones")
+            rest = tombs.join(added, "pid", "left_anti")
+            jobs.append(lambda: self.catalog.replace(
+                rest.unionByName(readded), "tombstones"))
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            for fut in [pool.submit(j) for j in jobs]:
+                fut.result()
         # parquet layout mutated files behind Spark's back — drop any cached
         # listings so same-session readers see the swapped tables
         self.catalog.refresh(self.spark)

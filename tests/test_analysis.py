@@ -68,14 +68,19 @@ def test_extraction_byte_identical_per_url_across_parallelism(spark):
 
 
 def test_arrow_tokenize_equals_relational(spark):
-    from colbert_spark.functions.analysis import tokenize_docs, tokenize_docs_arrow
+    from colbert_spark.functions.analysis import (
+        tokenize_docs_arrow,
+        tokenize_docs_relational,
+    )
 
     pdf = gen_docs_pdf(np.arange(80))
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(pdf["text"])] + [(999, ""), (998, "...")],
         "pid long, text string",
     )
-    a = sorted(map(tuple, tokenize_docs(docs, maxlen=220).collect()))
+    a = sorted(map(tuple,
+                   tokenize_docs_relational(docs, maxlen=220)
+                   .select("pid", "term", "doclen", "tf").collect()))
     b = sorted(map(tuple,
                    tokenize_docs_arrow(docs, maxlen=220)
                    .select("pid", "term", "doclen", "tf").collect()))
