@@ -203,43 +203,72 @@ def _make_partition_block_kernel(block_size: int, avgdl: float, k1: float,
     Memory bound is unchanged: the carry is one group, and group size is
     bounded by config.max_group_postings via the df-proportional salts.
     """
-    out_cols = ["term_id", "block_id", "first_pid", "last_pid",
-                "num_postings", "max_block_score", "pids", "tfs", "dls",
-                "enc_bytes"]
+    from colbert_spark.functions.codec import (
+        encode_pids_auto_batch,
+        encode_u64_auto_batch,
+    )
 
-    def build_group(rows: list, term_id: int, salt: int, pids: np.ndarray,
-                    tfs: np.ndarray, dls: np.ndarray, idf: float) -> None:
-        # input arrives pid-sorted (the partition sort); duplicate
-        # postings for a (term, pid) — corrupted/overlapping segments —
-        # are sorted-adjacent and still trip this guard
-        if pids.size > 1 and bool(np.any(pids[1:] == pids[:-1])):
-            raise ValueError(f"term {term_id}: duplicate pids in segments")
-        tff = tfs.astype(np.float64)
-        dlf = dls.astype(np.float64)
+    def build_region(tid, salt, p, t, d, idf, group_starts):
+        """Vectorized block build over a region of COMPLETE groups
+        (arrays sorted by (term_id, salt, pid); group_starts = start
+        index of each group). Emits one DataFrame of POSTINGS_SCHEMA
+        rows — the entire per-group/per-block work is numpy + the three
+        batched payload encoders; no per-group Python beyond the
+        list-of-bytes assembly."""
+        n = p.size
+        is_start = np.zeros(n, dtype=bool)
+        is_start[group_starts] = True
+        # duplicate postings for a (term, pid) — corrupted/overlapping
+        # segments — are sorted-adjacent within a group
+        dup = (p[1:] == p[:-1]) & ~is_start[1:]
+        if dup.any():
+            bad = int(np.flatnonzero(dup)[0]) + 1
+            raise ValueError(
+                f"term {int(tid[bad])}: duplicate pids in segments")
+        tff = t.astype(np.float64)
+        dlf = d.astype(np.float64)
         scores = idf * tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlf / avgdl))
-        n = pids.size
-        for i, start in enumerate(range(0, n, block_size)):
-            sl = slice(start, min(start + block_size, n))
-            bp, bt, bd = pids[sl], tfs[sl], dls[sl]
-            ep, et, ed = encode_pids(bp), encode_tfs(bt), encode_tfs(bd)
-            rows.append((
-                term_id, (salt << 32) | i, int(bp[0]), int(bp[-1]),
-                int(bp.size), float(scores[sl].max()), ep, et, ed,
-                len(ep) + len(et) + len(ed),
-            ))
+        group_counts = np.diff(np.append(group_starts, n))
+        idx_in_group = np.arange(n) - np.repeat(group_starts, group_counts)
+        b_starts = np.flatnonzero(idx_in_group % block_size == 0)
+        b_counts = np.diff(np.append(b_starts, n))
+        b_ends = b_starts + b_counts
+        salt_b = salt[b_starts].astype(np.int64)
+        blk_i = idx_in_group[b_starts] // block_size
+        ep = encode_pids_auto_batch(p, b_starts, b_counts)
+        et = encode_u64_auto_batch(t.astype(np.uint64), b_starts, b_counts)
+        ed = encode_u64_auto_batch(d.astype(np.uint64), b_starts, b_counts)
+        return pd.DataFrame({
+            "term_id": tid[b_starts],
+            "block_id": (salt_b << 32) | blk_i,
+            "first_pid": p[b_starts],
+            "last_pid": p[b_ends - 1],
+            "num_postings": b_counts.astype(np.int32),
+            "max_block_score": np.maximum.reduceat(scores, b_starts),
+            "pids": ep,
+            "tfs": et,
+            "dls": ed,
+            "enc_bytes": np.fromiter(
+                (len(a) + len(x) + len(y)
+                 for a, x, y in zip(ep, et, ed)),
+                dtype=np.int32, count=len(ep)),
+        })
 
     def run(batches):
-        carry: list[tuple] = []     # (tid, salt, pids, tfs, dls, idf) slices
+        carry: list[tuple] = []     # (pids, tfs, dls) slices of one group
         carry_key = None
+        carry_idf = 0.0
 
-        def flush(rows: list) -> None:
+        def flush():
             if carry_key is None:
-                return
-            p = np.concatenate([c[2] for c in carry])
-            t = np.concatenate([c[3] for c in carry])
-            d = np.concatenate([c[4] for c in carry])
-            build_group(rows, carry_key[0], carry_key[1], p, t, d,
-                        carry[0][5])
+                return None
+            p = np.concatenate([c[0] for c in carry])
+            t = np.concatenate([c[1] for c in carry])
+            d = np.concatenate([c[2] for c in carry])
+            tid = np.full(p.size, carry_key[0], dtype=np.int64)
+            salt = np.full(p.size, carry_key[1], dtype=np.int64)
+            return build_region(tid, salt, p, t, d, carry_idf,
+                                np.array([0], dtype=np.int64))
 
         for pdf in batches:
             if not len(pdf):
@@ -252,37 +281,41 @@ def _make_partition_block_kernel(block_size: int, avgdl: float, k1: float,
             idf_all = pdf["idf"].to_numpy()
             bounds = np.flatnonzero(
                 (tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
-            rows: list[tuple] = []
+            parts: list[pd.DataFrame] = []
             start = 0
             if carry_key is not None:
                 if (int(tid[0]), int(salt[0])) == carry_key:
                     if bounds.size == 0:  # whole batch continues the carry
-                        carry.append((None, None, p_all, t_all, d_all,
-                                      float(idf_all[0])))
+                        carry.append((p_all, t_all, d_all))
                         continue
                     start = int(bounds[0])
-                    carry.append((None, None, p_all[:start], t_all[:start],
-                                  d_all[:start], float(idf_all[0])))
-                flush(rows)
+                    carry.append((p_all[:start], t_all[:start],
+                                  d_all[:start]))
+                flushed = flush()
+                if flushed is not None:
+                    parts.append(flushed)
                 carry, carry_key = [], None
             # complete groups inside this batch: [start, last_bound)
             inner = bounds[bounds > start]
-            for end in inner:
-                e = int(end)
-                build_group(rows, int(tid[start]), int(salt[start]),
-                            p_all[start:e], t_all[start:e], d_all[start:e],
-                            float(idf_all[start]))
+            if inner.size:
+                e = int(inner[-1])
+                g_starts = np.concatenate(
+                    ([start], inner[:-1])).astype(np.int64) - start
+                parts.append(build_region(
+                    tid[start:e], salt[start:e], p_all[start:e],
+                    t_all[start:e], d_all[start:e], idf_all[start:e],
+                    g_starts))
                 start = e
             # trailing partial group → carry
             carry_key = (int(tid[start]), int(salt[start]))
-            carry = [(None, None, p_all[start:], t_all[start:],
-                      d_all[start:], float(idf_all[start]))]
-            if rows:
-                yield pd.DataFrame(rows, columns=out_cols)
-        rows = []
-        flush(rows)
-        if rows:
-            yield pd.DataFrame(rows, columns=out_cols)
+            carry_idf = float(idf_all[start])
+            carry = [(p_all[start:], t_all[start:], d_all[start:])]
+            if parts:
+                yield pd.concat(parts, ignore_index=True) \
+                    if len(parts) > 1 else parts[0]
+        last = flush()
+        if last is not None:
+            yield last
 
     return run
 
@@ -306,7 +339,20 @@ def _salted_blockify(enriched: DataFrame, avgdl: float,
     """
     kernel = _make_partition_block_kernel(config.block_size, avgdl,
                                           config.k1, config.b)
-    rep = enriched.repartition(config.shuffle_partitions, "term_id", "salt")
+    # narrow the exchanged row (guide: shuffle fewer bytes): tf/doclen are
+    # bounded by doc_maxlen and salt by the epoch space — int32 cuts the
+    # corpus-sized shuffle from 40 to 28 bytes/row raw (ANSI mode makes
+    # any impossible overflow loud). term_id/pid stay long.
+    slim_cols = [
+        F.col("term_id"), F.col("pid"),
+        F.col("tf").cast("int").alias("tf"),
+        F.col("doclen").cast("int").alias("doclen"),
+        F.col("salt").cast("int").alias("salt"),
+    ]
+    if idf_table is None:
+        slim_cols.append(F.col("idf"))
+    rep = enriched.select(*slim_cols).repartition(
+        config.shuffle_partitions, "term_id", "salt")
     if idf_table is not None:
         rep = rep.join(F.broadcast(idf_table), "term_id")
     blocks = (

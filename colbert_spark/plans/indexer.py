@@ -39,8 +39,15 @@ MANIFEST_SCHEMA = (
 class Indexer:
     #: per-bucket observe() pivots 4 aggregates per bucket into the write
     #: job; past this many buckets the expression blow-up costs more than
-    #: the column-pruned read-back pass it replaces
-    _OBSERVE_MAX_BUCKETS = 64
+    #: the column-pruned read-back pass it replaces. r6: measured on the
+    #: 100k/32-bucket build — the 128-expression CollectMetrics is
+    #: evaluated interpreted per block row and cost ~0.6 s vs the
+    #: read-back job's ~0.1 s (its scan touches only 4 footer-backed int
+    #: columns), and the gap widens with both blocks and buckets, so
+    #: observe stays only where it is genuinely cheaper: single-digit
+    #: bucket counts (small/test indexes, where one more Spark job is
+    #: relatively expensive).
+    _OBSERVE_MAX_BUCKETS = 8
 
     def __init__(self, config: ColBERTConfig | None = None):
         self.config = ColBERTConfig.from_existing(config)
