@@ -207,27 +207,36 @@ class Indexer:
                 ]
             blocks = blocks.observe(obs, *aggs)
 
-        if todo:
-            mode = "append" if done else "overwrite"
-            cat.write(
-                blocks.repartition(cfg.index_partitions, "bucket")
-                .sortWithinPartitions("term_id", "block_id"),
-                "postings", mode=mode, partition_by=["bucket"],
-            )
-
-        # ---- finalize: stats tables, manifest, metadata -------------------
-        # all four small finalize writes (term_dict, doc_stats, corpus_stats,
-        # manifest) are independent once the postings write has landed —
-        # submit them in ONE thread pool so their fixed per-job scheduling
-        # latencies overlap instead of serializing (~4 driver actions → ~1
-        # action's worth of wall time; this is the serial term that erodes
-        # N→4N efficiency)
+        # ---- postings write, with the three stats-table writes overlapped
+        # (term_dict / doc_stats / corpus_stats depend only on the cached
+        # stats inputs, not on the postings — submitting them from driver
+        # threads lets their tasks back-fill the postings write's task
+        # tail, guide-style concurrent jobs). The manifest still waits for
+        # the postings write (its metrics come from it), and metadata.json
+        # stays last — the index is "complete" only once it exists, so the
+        # crash-visibility contract is unchanged.
         from concurrent.futures import ThreadPoolExecutor
 
         stats_df = spark.createDataFrame(
             [(num_docs, avgdl, int(n_terms), int(num_postings))],
             "num_docs long, avg_doclen double, num_terms long, num_postings long",
         )
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(cat.write, term_dict, "term_dict"),
+                pool.submit(cat.write, doc_stats_df, "doc_stats"),
+                pool.submit(cat.write, stats_df, "corpus_stats"),
+            ]
+            if todo:
+                mode = "append" if done else "overwrite"
+                futures.append(pool.submit(
+                    cat.write,
+                    blocks.repartition(cfg.index_partitions, "bucket")
+                    .sortWithinPartitions("term_id", "block_id"),
+                    "postings", mode, ["bucket"],
+                ))
+            for fut in futures:
+                fut.result()
         wall_ms = int((time.monotonic() - t0) * 1000)
         # manifest: every bucket gets a row (resume contract). Rows for
         # buckets built THIS run come from the write's observed metrics;
@@ -299,15 +308,7 @@ class Indexer:
                 for bkt in todo
             ]
         manifest = spark.createDataFrame(old_rows + new_rows, MANIFEST_SCHEMA)
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            futures = [
-                pool.submit(cat.write, term_dict, "term_dict"),
-                pool.submit(cat.write, doc_stats_df, "doc_stats"),
-                pool.submit(cat.write, stats_df, "corpus_stats"),
-                pool.submit(cat.write, manifest, "manifest"),
-            ]
-            for fut in futures:
-                fut.result()
+        cat.write(manifest, "manifest")
         cat.write_json(
             "metadata.json",
             {

@@ -178,11 +178,30 @@ def merge_indexes(
         enriched, avgdl, cfg,
         idf_table=term_dict.select("term_id", "idf"),
     )
-    dest.write(
-        merged.repartition(cfg.index_partitions, "bucket")
-        .sortWithinPartitions("term_id", "block_id"),
-        "postings", partition_by=["bucket"],
+    # overlap the three stats-table writes with the postings write (none
+    # depends on the postings; their tasks back-fill the write's tail —
+    # the Indexer's r6 finalize discipline). Manifest needs the written
+    # postings and metadata.json stays last.
+    from concurrent.futures import ThreadPoolExecutor
+
+    stats_df = spark.createDataFrame(
+        [(num_docs, avgdl, n_terms, num_postings)],
+        "num_docs long, avg_doclen double, num_terms long, num_postings long",
     )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [
+            pool.submit(dest.write, term_dict, "term_dict"),
+            pool.submit(dest.write, doc_stats_df, "doc_stats"),
+            pool.submit(dest.write, stats_df, "corpus_stats"),
+            pool.submit(
+                dest.write,
+                merged.repartition(cfg.index_partitions, "bucket")
+                .sortWithinPartitions("term_id", "block_id"),
+                "postings", "overwrite", ["bucket"],
+            ),
+        ]
+        for fut in futures:
+            fut.result()
 
     # finalize: manifest via one column-pruned read-back (never touches
     # the binary posting columns), small tables in one overlapped pool
@@ -217,21 +236,7 @@ def merge_indexes(
         ],
         MANIFEST_SCHEMA,
     )
-    stats_df = spark.createDataFrame(
-        [(num_docs, avgdl, n_terms, num_postings)],
-        "num_docs long, avg_doclen double, num_terms long, num_postings long",
-    )
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        futures = [
-            pool.submit(dest.write, term_dict, "term_dict"),
-            pool.submit(dest.write, doc_stats_df, "doc_stats"),
-            pool.submit(dest.write, stats_df, "corpus_stats"),
-            pool.submit(dest.write, manifest, "manifest"),
-        ]
-        for fut in futures:
-            fut.result()
+    dest.write(manifest, "manifest")
     meta = {
         "config": asdict(cfg),
         "num_docs": num_docs,
