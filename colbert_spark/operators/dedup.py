@@ -15,6 +15,8 @@ self-join with a band-bucket equi-join.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -25,6 +27,78 @@ from colbert_spark.functions import analysis
 
 # 31-bit Mersenne prime: products a*h stay under 2^62 (ANSI-safe int64)
 _MINHASH_P = 2147483647
+
+#: SimHash all-pairs fast-path threshold (see _allpairs_hamming_pairs).
+#: Size-adaptive algorithm selection, the broadcast-join analog: below
+#: this many signatures an exact vectorized N² popcount sweep is cheaper
+#: than banding's candidate join (at large radii the banding keys carry
+#: ~10-13 effective bits, so candidate volume is already ~N²/2^11 —
+#: within a small constant of all-pairs, at far higher per-pair cost).
+#: At the default, the worst task does ≤ threshold²/parallelism ≈ 10^7
+#: vectorized XOR+popcounts; above it the banding path (the 100-TB
+#: shape) runs unchanged. Not a local[32] constant: the crossover is a
+#: property of corpus size, like spark.sql.autoBroadcastJoinThreshold.
+_SIMHASH_ALLPAIRS_MAX = int(
+    os.environ.get("SPARK_GRAFT_SIMHASH_ALLPAIRS_MAX", "20000"))
+
+#: byte-wise popcount LUT for the all-pairs Hamming sweep (numpy < 2 has
+#: no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _allpairs_hamming_pairs(sigs: DataFrame, id_col: str,
+                            sig_cols: list[str],
+                            max_hamming: int) -> DataFrame:
+    """Exact (a < b, hamming ≤ max_hamming) pairs by a distributed
+    all-pairs popcount sweep — the small-corpus fast path of
+    simhash_near_pairs/128. The full signature table (one or two longs
+    per doc, bounded by the caller's threshold) is broadcast; each task
+    XORs its partition's signatures against all of them in numpy and
+    emits the pairs whose smaller id it owns, so every qualifying
+    unordered pair appears exactly once. Result-identical to the
+    guaranteed-recall banding path by construction (banding = the same
+    exact pair set, pigeonhole recall + exact bit_count filter);
+    pytest-pinned in tests/test_pipeline_ops.py."""
+    rows = sigs.select(id_col, *sig_cols).collect()
+    n = len(rows)
+    ids_all = np.fromiter((r[0] for r in rows), dtype=np.int64, count=n)
+    mats_all = [
+        np.fromiter((r[i + 1] for r in rows), dtype=np.int64, count=n)
+        .view(np.uint64)
+        for i in range(len(sig_cols))
+    ]
+    bc = sigs.sparkSession.sparkContext.broadcast((ids_all, mats_all))
+    thr = int(max_hamming)
+    cols = list(sig_cols)
+
+    def gen(batches):
+        all_ids, all_mats = bc.value
+        n_all = all_ids.size
+        if n_all == 0:
+            return
+        # bound the per-chunk XOR matrix to ~64 MB
+        step = max(1, (64 << 20) // (n_all * 8))
+        for pdf in batches:
+            my_ids = pdf[id_col].to_numpy()
+            my_mats = [pdf[c].to_numpy().astype(np.int64).view(np.uint64)
+                       for c in cols]
+            for lo in range(0, my_ids.size, step):
+                hi = min(lo + step, my_ids.size)
+                m = hi - lo
+                ham = np.zeros((m, n_all), dtype=np.int64)
+                for mine, allm in zip(my_mats, all_mats):
+                    x = mine[lo:hi, None] ^ allm[None, :]
+                    ham += _POP8[x.view(np.uint8)].reshape(
+                        m, n_all, 8).sum(axis=2, dtype=np.int64)
+                mask = (ham <= thr) & (all_ids[None, :] > my_ids[lo:hi, None])
+                ai, bi = np.nonzero(mask)
+                if ai.size:
+                    yield pd.DataFrame({
+                        "a": my_ids[lo:hi][ai], "b": all_ids[bi],
+                        "hamming": ham[ai, bi],
+                    })
+
+    return sigs.mapInPandas(gen, schema="a long, b long, hamming long")
 
 
 def md5_hash64(col) -> "F.Column":
@@ -480,7 +554,8 @@ def simhash128_sql(docs: DataFrame, id_col: str = "doc_id",
 def simhash_near_pairs128(docs: DataFrame, max_hamming: int = 10,
                           id_col: str = "doc_id", text_col: str = "text",
                           sigs: DataFrame | None = None,
-                          portable_hash: bool = False) -> DataFrame:
+                          portable_hash: bool = False,
+                          allpairs_max: int | None = None) -> DataFrame:
     """Near-dup pairs (a < b, hamming ≤ max_hamming) over the 128-bit
     signature, guaranteed recall (pigeonhole over
     simhash_blocking_plan(max_hamming, num_bits=128) bands).
@@ -490,15 +565,29 @@ def simhash_near_pairs128(docs: DataFrame, max_hamming: int = 10,
     any disjoint partition of positions into k groups satisfies the
     pigeonhole argument, and per-half spans keep extraction to one
     shiftright+mask per band. Same slim join shape as simhash_near_pairs:
-    band rows carry (id, sigs, bh); one equi-join on the 8-byte key."""
+    band rows carry (id, sigs, bh); one equi-join on the 8-byte key.
+
+    Signature tables at or under `allpairs_max` rows (default
+    _SIMHASH_ALLPAIRS_MAX; 0 disables) take the exact all-pairs popcount
+    sweep instead — same pair set by construction (banding is
+    guaranteed-recall + exact filter), cheaper than the candidate join
+    at small N. Pass 0 to force banding (the recall tests do)."""
     import itertools
 
-    k, c = simhash_blocking_plan(max_hamming, num_bits=128)
+    if allpairs_max is None:
+        allpairs_max = _SIMHASH_ALLPAIRS_MAX
     owned_sigs = ()
     if sigs is None:
         sigs = simhash128(docs, id_col, text_col,
                           portable_hash=portable_hash).persist()
         owned_sigs = (sigs,)
+    if allpairs_max and sigs.count() <= allpairs_max:
+        out = _allpairs_hamming_pairs(
+            sigs, id_col, ["simhash_lo", "simhash_hi"], max_hamming)
+        for s in owned_sigs:
+            caching.register(s, "simhash_near_pairs128")
+        return out
+    k, c = simhash_blocking_plan(max_hamming, num_bits=128)
     k_lo = (k + 1) // 2
     band_exprs = [
         f"(shiftright(simhash_lo, {off}) & {(1 << w) - 1})"
@@ -695,16 +784,23 @@ def _band_bounds(total_bits: int, k: int) -> list[tuple[int, int]]:
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id", text_col: str = "text",
                        sigs: DataFrame | None = None,
-                       portable_hash: bool = False) -> DataFrame:
+                       portable_hash: bool = False,
+                       allpairs_max: int | None = None) -> DataFrame:
     """Near-dup pairs (a < b, hamming ≤ max_hamming) by SimHash, with
     GUARANTEED recall at the requested radius: blocking keys are xxhash64
     over c-band combinations chosen by simhash_blocking_plan, so every
     qualifying pair shares ≥ 1 key; bucket false positives are removed by
     the exact bit_count filter. One equi-join on an 8-byte key — no
-    all-pairs stage at any corpus size."""
+    all-pairs stage at any corpus size past `allpairs_max` (default
+    _SIMHASH_ALLPAIRS_MAX; 0 disables): at or under it the exact
+    all-pairs popcount sweep runs instead — identical pair set by
+    construction (banding is guaranteed-recall + exact filter), cheaper
+    than the candidate join at small N. Pass 0 to force banding (the
+    recall tests do)."""
     import itertools
 
-    k, c = simhash_blocking_plan(max_hamming)
+    if allpairs_max is None:
+        allpairs_max = _SIMHASH_ALLPAIRS_MAX
     owned_sigs = ()
     if sigs is None:
         # both join sides read the signatures; persist so the JVM bit-fold
@@ -712,6 +808,12 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         sigs = simhash64(docs, id_col, text_col,
                          portable_hash=portable_hash).persist()
         owned_sigs = (sigs,)
+    if allpairs_max and sigs.count() <= allpairs_max:
+        out = _allpairs_hamming_pairs(sigs, id_col, ["simhash"], max_hamming)
+        for s in owned_sigs:
+            caching.register(s, "simhash_near_pairs")
+        return out
+    k, c = simhash_blocking_plan(max_hamming)
     band_exprs = [
         f"(shiftright(simhash, {off}) & {(1 << w) - 1})"
         for off, w in _band_bounds(64, k)

@@ -448,7 +448,8 @@ def test_simhash128_banded_equals_brute_at_radius_12(spark):
     banded = {
         (r["a"], r["b"], r["hamming"])
         for r in dedup.simhash_near_pairs128(docs, max_hamming=12,
-                                             sigs=sigs).collect()
+                                             sigs=sigs,
+                                             allpairs_max=0).collect()
     }
     a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash_lo").alias("la"),
                     F.col("simhash_hi").alias("ha"))
@@ -488,7 +489,8 @@ def test_simhash_banded_equals_brute_at_radius_10(spark):
     banded = {
         (r["a"], r["b"], r["hamming"])
         for r in dedup.simhash_near_pairs(docs, max_hamming=10,
-                                          sigs=sigs).collect()
+                                          sigs=sigs,
+                                          allpairs_max=0).collect()
     }
     a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
     b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
@@ -503,6 +505,31 @@ def test_simhash_banded_equals_brute_at_radius_10(spark):
     }
     assert len(brute) > 0  # fixture actually exercises the radius
     assert banded == brute
+
+
+def test_simhash_allpairs_path_equals_banding(spark):
+    """The small-corpus all-pairs popcount path (r6) must return exactly
+    the banding path's pair set — 64-bit and 128-bit, including the
+    hamming values — on a fixture large enough to produce pairs."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    for fn, radius in ((dedup.simhash_near_pairs, 10),
+                       (dedup.simhash_near_pairs128, 12)):
+        allpairs = {
+            (r["a"], r["b"], r["hamming"])
+            for r in fn(docs, max_hamming=radius,
+                        allpairs_max=10**9).collect()
+        }
+        banded = {
+            (r["a"], r["b"], r["hamming"])
+            for r in fn(docs, max_hamming=radius,
+                        allpairs_max=0).collect()
+        }
+        assert len(banded) > 0
+        assert allpairs == banded
 
 
 def test_portable_hash_variants_consistent(spark, dup_docs):
