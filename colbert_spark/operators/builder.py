@@ -188,21 +188,10 @@ def build_postings(
                             idf_table=term_dict.select("term_id", "idf"))
 
 
-def _make_partition_block_kernel(block_size: int, avgdl: float, k1: float,
-                                 b: float):
-    """mapInPandas kernel over partitions pre-shuffled on (term_id, salt)
-    and sorted within each partition by (term_id, salt, pid): walks group
-    boundaries with numpy and emits POSTINGS_SCHEMA rows.
-
-    Same math, row-for-row, as _make_block_builder — but one Python/Arrow
-    round-trip per PARTITION BATCH instead of per (term_id, salt) group
-    (tail terms make groups tiny and numerous, so the per-group pandas
-    construction dominated the build's blockify stage before r6). The
-    trailing group of each Arrow batch can straddle the batch boundary;
-    it is carried forward and emitted when its last row has arrived.
-    Memory bound is unchanged: the carry is one group, and group size is
-    bounded by config.max_group_postings via the df-proportional salts.
-    """
+def _make_region_builder(block_size: int, avgdl: float, k1: float,
+                         b: float):
+    """Shared vectorized block-build core of the partition kernels
+    (_make_partition_block_kernel and the hybrid payload-feed kernel)."""
     from colbert_spark.functions.codec import (
         encode_pids_auto_batch,
         encode_u64_auto_batch,
@@ -253,6 +242,26 @@ def _make_partition_block_kernel(block_size: int, avgdl: float, k1: float,
                  for a, x, y in zip(ep, et, ed)),
                 dtype=np.int32, count=len(ep)),
         })
+
+    return build_region
+
+
+def _make_partition_block_kernel(block_size: int, avgdl: float, k1: float,
+                                 b: float):
+    """mapInPandas kernel over partitions pre-shuffled on (term_id, salt)
+    and sorted within each partition by (term_id, salt, pid): walks group
+    boundaries with numpy and emits POSTINGS_SCHEMA rows.
+
+    Same math, row-for-row, as _make_block_builder — but one Python/Arrow
+    round-trip per PARTITION BATCH instead of per (term_id, salt) group
+    (tail terms make groups tiny and numerous, so the per-group pandas
+    construction dominated the build's blockify stage before r6). The
+    trailing group of each Arrow batch can straddle the batch boundary;
+    it is carried forward and emitted when its last row has arrived.
+    Memory bound is unchanged: the carry is one group, and group size is
+    bounded by config.max_group_postings via the df-proportional salts.
+    """
+    build_region = _make_region_builder(block_size, avgdl, k1, b)
 
     def run(batches):
         carry: list[tuple] = []     # (pids, tfs, dls) slices of one group
@@ -443,6 +452,282 @@ def live_flat_postings(catalog, spark) -> DataFrame:
     return flat.drop("epoch")
 
 
+#: hybrid payload feed: tombstones ship to the blockify kernel as a
+#: driver-collected sorted array; past this many rows fall back to the
+#: flat-decode path (whose anti-join handles tombstone sets of any
+#: size). Mirrors the Searcher's _TOMBSTONE_GATHER_MAX discipline.
+_HYBRID_TOMB_MAX = 100_000
+
+
+def _collect_tombstones(catalogs, spark):
+    """(sorted pids, matching before_epochs) across the given catalogs,
+    or None when the union is too large for a task closure (caller falls
+    back to the flat-decode anti-join). Pid spaces of merged sources are
+    disjoint (guarded upstream), so one flat union is sound."""
+    parts = []
+    total = 0
+    for cat in catalogs:
+        if not cat.table_exists("tombstones"):
+            continue
+        t = cat.read(spark, "tombstones")
+        if "before_epoch" not in t.columns:
+            # pre-epoch table: exclude every epoch (documented migration)
+            t = t.withColumn("before_epoch", F.lit(1 << 62))
+        rows = (t.groupBy("pid")
+                .agg(F.max("before_epoch").alias("before_epoch"))
+                .limit(_HYBRID_TOMB_MAX + 1).collect())
+        total += len(rows)
+        if total > _HYBRID_TOMB_MAX:
+            return None
+        parts.append(rows)
+    pids = np.fromiter((r["pid"] for part in parts for r in part),
+                       dtype=np.int64)
+    eps = np.fromiter((r["before_epoch"] for part in parts for r in part),
+                      dtype=np.int64)
+    order = np.argsort(pids, kind="stable")
+    return pids[order], eps[order]
+
+
+def _make_hybrid_block_kernel(block_size: int, avgdl: float, k1: float,
+                              b: float, tomb):
+    """mapInPandas kernel of the hybrid payload feed (see
+    _payload_blockify): partitions are pre-shuffled on (term_id, salt)
+    and sorted within each partition by (term_id, salt) only — rows of a
+    group are contiguous but arrive as a mix of still-ENCODED source
+    blocks (single-salt terms; pid == -1, payload columns set) and flat
+    postings (multi-salt terms; payload columns null). Per group the
+    kernel decodes the payloads, applies the broadcast tombstone fold
+    epoch-bounded, sorts by pid and hands the region to the shared block
+    builder — whose sorted-adjacent duplicate guard and block math are
+    byte-identical to the flat path (pytest-pinned).
+    """
+    from colbert_spark.functions.codec import (
+        decode_pids_auto,
+        decode_tfs_auto,
+    )
+
+    build_region = _make_region_builder(block_size, avgdl, k1, b)
+    t_pids, t_eps = (tomb if tomb is not None
+                     else (np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    def finish_group(parts):
+        """parts: list of (pids, tfs, dls, epochs) arrays → one pid-sorted
+        live (p, t, d) triple, or None when nothing survives."""
+        p = np.concatenate([x[0] for x in parts])
+        t = np.concatenate([x[1] for x in parts])
+        d = np.concatenate([x[2] for x in parts])
+        if t_pids.size:
+            ep = np.concatenate([x[3] for x in parts])
+            idx = np.searchsorted(t_pids, p)
+            idx[idx == t_pids.size] = 0
+            dead = (t_pids[idx] == p) & (ep < t_eps[idx])
+            if dead.any():
+                keep = ~dead
+                p, t, d = p[keep], t[keep], d[keep]
+        if not p.size:
+            return None
+        order = np.argsort(p, kind="stable")
+        return p[order], t[order], d[order]
+
+    def decode_rows(pdf, s, e):
+        """Rows [s, e) of one group → list of (p, t, d, epoch) parts."""
+        parts = []
+        pid_col = pdf["pid"].to_numpy()
+        enc = pdf["pids"]
+        flat_sel = np.flatnonzero(pid_col[s:e] >= 0) + s
+        if flat_sel.size:
+            parts.append((
+                pid_col[flat_sel],
+                pdf["tf"].to_numpy()[flat_sel].astype(np.int64),
+                pdf["doclen"].to_numpy()[flat_sel].astype(np.int64),
+                pdf["epoch"].to_numpy()[flat_sel].astype(np.int64),
+            ))
+        blk = pdf["block_id"].to_numpy()
+        tfs_col, dls_col = pdf["tfs"], pdf["dls"]
+        for i in range(s, e):
+            if pid_col[i] >= 0:
+                continue
+            p = decode_pids_auto(bytes(enc.iat[i]))
+            parts.append((
+                p,
+                decode_tfs_auto(bytes(tfs_col.iat[i])).astype(np.int64),
+                decode_tfs_auto(bytes(dls_col.iat[i])).astype(np.int64),
+                np.full(p.size, blk[i] >> 32, dtype=np.int64),
+            ))
+        return parts
+
+    def run(batches):
+        carry: list = []
+        carry_key = None
+        carry_idf = 0.0
+
+        def regionize(groups):
+            """groups: list of (key, idf, (p, t, d)) → one build_region
+            call over their concatenation."""
+            if not groups:
+                return None
+            sizes = np.fromiter((g[2][0].size for g in groups),
+                                dtype=np.int64, count=len(groups))
+            starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            tid = np.repeat(
+                np.fromiter((g[0][0] for g in groups), dtype=np.int64,
+                            count=len(groups)), sizes)
+            salt = np.repeat(
+                np.fromiter((g[0][1] for g in groups), dtype=np.int64,
+                            count=len(groups)), sizes)
+            idf = np.repeat(
+                np.fromiter((g[1] for g in groups), dtype=np.float64,
+                            count=len(groups)), sizes)
+            p = np.concatenate([g[2][0] for g in groups])
+            t = np.concatenate([g[2][1] for g in groups])
+            d = np.concatenate([g[2][2] for g in groups])
+            return build_region(tid, salt, p, t, d, idf, starts)
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            tid = pdf["term_id"].to_numpy()
+            salt = pdf["salt"].to_numpy()
+            idf_all = pdf["idf"].to_numpy()
+            bounds = np.flatnonzero(
+                (tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1
+            seg_starts = np.concatenate(([0], bounds))
+            seg_ends = np.concatenate((bounds, [n]))
+            done_groups = []
+            for s, e in zip(seg_starts, seg_ends):
+                key = (int(tid[s]), int(salt[s]))
+                parts = decode_rows(pdf, int(s), int(e))
+                if carry_key is not None and key == carry_key:
+                    carry.extend(parts)
+                    continue
+                if carry_key is not None:
+                    fin = finish_group(carry)
+                    if fin is not None:
+                        done_groups.append((carry_key, carry_idf, fin))
+                carry, carry_key, carry_idf = parts, key, float(idf_all[s])
+            # every segment except the trailing one is complete — but a
+            # segment only closes when the NEXT key arrives, so flush all
+            # groups closed in this batch (the trailing one stays carried)
+            out = regionize(done_groups)
+            if out is not None:
+                yield out
+        if carry_key is not None:
+            fin = finish_group(carry)
+            if fin is not None:
+                out = regionize([(carry_key, carry_idf, fin)])
+                if out is not None:
+                    yield out
+
+    return run
+
+
+def block_term_stats(blocks: DataFrame, tomb) -> DataFrame:
+    """Per-term LIVE (df, cf) straight from posting blocks — the merge
+    stats pass without flattening postings into rows: the kernel decodes
+    each block's tf payload (plus pids only when tombstones exist, for
+    the epoch-bounded fold) and emits ONE row per block; only those tiny
+    partials shuffle. Terms whose postings are all tombstoned drop
+    (df > 0 filter), matching the flat path's anti-join-then-group
+    semantics. `tomb` is the (sorted pids, before_epochs) pair from
+    _collect_tombstones."""
+    from colbert_spark.functions.codec import (
+        decode_pids_auto,
+        decode_tfs_auto,
+    )
+
+    t_pids, t_eps = (tomb if tomb is not None
+                     else (np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            blk = pdf["block_id"].to_numpy()
+            dfs = np.empty(n, dtype=np.int64)
+            cfs = np.empty(n, dtype=np.int64)
+            tfs_col, pids_col = pdf["tfs"], pdf["pids"]
+            for i in range(n):
+                t = decode_tfs_auto(bytes(tfs_col.iat[i])).astype(np.int64)
+                if t_pids.size:
+                    p = decode_pids_auto(bytes(pids_col.iat[i]))
+                    idx = np.searchsorted(t_pids, p)
+                    idx[idx == t_pids.size] = 0
+                    dead = (t_pids[idx] == p) & ((blk[i] >> 32) < t_eps[idx])
+                    if dead.any():
+                        t = t[~dead]
+                dfs[i] = t.size
+                cfs[i] = t.sum()
+            yield pd.DataFrame({"term_id": pdf["term_id"].to_numpy(),
+                                "df": dfs, "cf": cfs})
+
+    return (
+        blocks.select("term_id", "block_id", "pids", "tfs")
+        .mapInPandas(gen, schema="term_id long, df long, cf long")
+        .groupBy("term_id")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .filter(F.col("df") > 0)
+    )
+
+
+def _payload_blockify(blocks: DataFrame, dict_slice: DataFrame,
+                      idf_table: DataFrame, avgdl: float,
+                      config: ColBERTConfig, tomb) -> DataFrame:
+    """Re-blockify source blocks WITHOUT flattening the single-salt
+    majority (guide §8: move heavy bytes once, decide with small rows).
+
+    The flat path decodes every posting into a 28-byte row, crosses the
+    Python boundary twice (decode out, kernel in) and exchanges the flat
+    rows. Terms with n_salts == 1 — all but the hottest at any corpus
+    size — need no pid-level placement decision (every posting lands in
+    salt 0), so their blocks ship through the exchange STILL ENCODED
+    (~1-2 bytes/posting) and decode inside the kernel. Only multi-salt
+    terms' postings (placement = pmod(xxhash64(pid), n_salts)) take the
+    flat path. Tombstones fold inside the kernel from a driver-collected
+    sorted array (caller guarantees |tombstones| ≤ _HYBRID_TOMB_MAX).
+    Output is byte-identical to _salted_blockify over the flat decode
+    (pytest-pinned)."""
+    src = blocks.join(F.broadcast(dict_slice), "term_id")
+    nulls = [F.lit(None).cast("binary").alias(c)
+             for c in ("pids", "tfs", "dls")]
+    single = src.filter(F.col("n_salts") == 1).select(
+        "term_id",
+        F.lit(0).alias("salt"),
+        F.lit(-1).cast("long").alias("pid"),
+        F.lit(-1).alias("tf"),
+        F.lit(-1).alias("doclen"),
+        F.lit(-1).cast("long").alias("epoch"),
+        "block_id", "pids", "tfs", "dls",
+    )
+    multi_flat = decode_blocks_flat(
+        src.filter(F.col("n_salts") > 1)
+    ).join(F.broadcast(dict_slice), "term_id").select(
+        "term_id",
+        F.pmod(F.xxhash64("pid"), F.col("n_salts")).cast("int").alias("salt"),
+        "pid",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("doclen").cast("int").alias("doclen"),
+        "epoch",
+        F.lit(-1).cast("long").alias("block_id"),
+        *nulls,
+    )
+    rep = single.unionByName(multi_flat).repartition(
+        config.shuffle_partitions, "term_id", "salt"
+    ).join(F.broadcast(idf_table), "term_id")
+    kernel = _make_hybrid_block_kernel(config.block_size, avgdl,
+                                       config.k1, config.b, tomb)
+    out = (
+        rep.select("term_id", "salt", "pid", "tf", "doclen", "epoch",
+                   "block_id", "pids", "tfs", "dls", "idf")
+        .sortWithinPartitions("term_id", "salt")
+        .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
+    )
+    return out.withColumn(
+        "bucket", F.pmod(F.col("term_id"), F.lit(config.index_partitions))
+    )
+
+
 def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
     """Segment compaction (S13, colbert/utils/coalesce.py:9-111 analog +
     reference index_coalesce_test.py equivalence contract): decode every
@@ -491,15 +776,23 @@ def coalesce_index(catalog, config: ColBERTConfig, avgdl: float) -> None:
         )
     )
 
-    flat = live_flat_postings(catalog, ss)
-    enriched = flat.join(F.broadcast(dict_slice), "term_id").select(
-        "term_id", "pid", "tf", "doclen",
-        F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),
-    )
-    merged = _salted_blockify(
-        enriched, avgdl, config,
-        idf_table=catalog.read(ss, "term_dict").select("term_id", "idf"),
-    )
+    idf_table = catalog.read(ss, "term_dict").select("term_id", "idf")
+    tomb = _collect_tombstones([catalog], ss)
+    if tomb is not None:
+        # hybrid payload feed: single-salt terms' blocks cross the
+        # exchange still encoded (_payload_blockify)
+        merged = _payload_blockify(blocks, dict_slice, idf_table,
+                                   avgdl, config, tomb)
+    else:
+        # tombstone set too large for a task closure — flat decode with
+        # the distributed anti-join (handles any size)
+        flat = live_flat_postings(catalog, ss)
+        enriched = flat.join(F.broadcast(dict_slice), "term_id").select(
+            "term_id", "pid", "tf", "doclen",
+            F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),
+        )
+        merged = _salted_blockify(enriched, avgdl, config,
+                                  idf_table=idf_table)
     catalog.replace(
         merged.repartition(config.index_partitions, "bucket")
         .sortWithinPartitions("term_id", "block_id"),

@@ -110,24 +110,41 @@ def merge_indexes(
         srcs.append(cat)
 
     t0 = time.monotonic()
-    flat = reduce(
-        DataFrame.unionByName,
-        [builder.live_flat_postings(cat, spark) for cat in srcs],
-    )
-    if cfg.cache_tokens:
-        # the flat decode feeds BOTH the stats pass and the re-blockify —
-        # same persist knob as the Indexer's token cache
-        flat = flat.persist()
+    # hybrid payload feed (r6): when the union of source tombstones fits
+    # a task closure, postings never flatten into per-row form — the
+    # stats pass reads per-block tf partials and the re-blockify ships
+    # single-salt terms' blocks through the exchange still encoded
+    # (builder._payload_blockify). Otherwise the original flat-decode
+    # path runs (its anti-join handles tombstone sets of any size).
+    tomb = builder._collect_tombstones(srcs, spark)
+    flat = None
+    if tomb is not None:
+        blocks_all = reduce(
+            DataFrame.unionByName,
+            [cat.read(spark, "postings")
+             .select("term_id", "block_id", "pids", "tfs", "dls")
+             for cat in srcs],
+        )
+        tagg = builder.block_term_stats(blocks_all, tomb).persist()
+    else:
+        flat = reduce(
+            DataFrame.unionByName,
+            [builder.live_flat_postings(cat, spark) for cat in srcs],
+        )
+        if cfg.cache_tokens:
+            # the flat decode feeds BOTH the stats pass and the
+            # re-blockify — same persist knob as the Indexer's token cache
+            flat = flat.persist()
+        tagg = flat.groupBy("term_id").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+        ).persist()
     doc_stats_df = reduce(
         DataFrame.unionByName, [_live_doc_stats(c, spark) for c in srcs]
     ).persist()
 
     # ONE driver action for every merged statistic (the Indexer's stats
     # discipline): corpus stats × term-level totals
-    tagg = flat.groupBy("term_id").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum("tf").alias("cf"),
-    ).persist()
     row = (
         doc_stats_df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -170,14 +187,20 @@ def merge_indexes(
             F.ceil(F.col("df") / F.lit(cfg.max_group_postings)),
         ).cast("long").alias("n_salts"),
     )
-    enriched = flat.join(F.broadcast(dict_slice), "term_id").select(
-        "term_id", "pid", "tf", "doclen",
-        F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),
-    )
-    merged = builder._salted_blockify(
-        enriched, avgdl, cfg,
-        idf_table=term_dict.select("term_id", "idf"),
-    )
+    if tomb is not None:
+        merged = builder._payload_blockify(
+            blocks_all, dict_slice, term_dict.select("term_id", "idf"),
+            avgdl, cfg, tomb,
+        )
+    else:
+        enriched = flat.join(F.broadcast(dict_slice), "term_id").select(
+            "term_id", "pid", "tf", "doclen",
+            F.pmod(F.xxhash64("pid"), F.col("n_salts")).alias("salt"),
+        )
+        merged = builder._salted_blockify(
+            enriched, avgdl, cfg,
+            idf_table=term_dict.select("term_id", "idf"),
+        )
     # overlap the three stats-table writes with the postings write (none
     # depends on the postings; their tasks back-fill the write's tail —
     # the Indexer's r6 finalize discipline). Manifest needs the written
@@ -249,7 +272,7 @@ def merge_indexes(
     }
     dest.write_json("plan.json", meta)
     dest.write_json("metadata.json", meta)
-    if cfg.cache_tokens:
+    if flat is not None and cfg.cache_tokens:
         flat.unpersist()
     doc_stats_df.unpersist()
     tagg.unpersist()
