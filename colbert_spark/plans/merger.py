@@ -22,12 +22,18 @@ Reference analog: the reference merges sharded RANKINGS
 merge — its single-machine index never shards. At 10^12 documents the
 build itself must shard; this is the fold step.
 
-Plan shape: per shard, ONE embarrassingly-parallel flat block decode
+Plan shape (r6 hybrid payload feed): the stats pass reads per-block
+(df, cf) partials from the tf payloads (builder.block_term_stats — one
+row per BLOCK shuffles, not per posting), and the re-blockify ships
+single-salt terms' blocks through the (term_id, salt) exchange STILL
+ENCODED (~1-2 bytes/posting) — only multi-salt (hot) terms' postings
+flatten to rows; tombstones fold inside the kernel epoch-bounded
+(builder._payload_blockify, byte-identical to the flat path by pytest).
+When the union of source tombstones exceeds the task-closure bound the
+original shape runs instead: per shard ONE flat block decode
 (builder.live_flat_postings — mapInPandas, no grouping, tombstones
-folded epoch-bounded), then the standard df-proportional salted
-re-blockify (builder._salted_blockify): one corpus-sized exchange on
-(term_id, salt) carrying 5 longs/row, idf broadcast-joined AFTER the
-exchange — identical physical shape to a fresh build minus tokenize.
+anti-joined) into the df-proportional salted re-blockify
+(builder._salted_blockify), one corpus-sized exchange of 5 longs/row.
 """
 
 from __future__ import annotations
