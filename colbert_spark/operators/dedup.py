@@ -257,12 +257,6 @@ def minhash_perm_constants(num_perm: int) -> list[tuple[int, int, int]]:
     return rows
 
 
-def _perm_table(spark, num_perm: int) -> DataFrame:
-    return spark.createDataFrame(
-        minhash_perm_constants(num_perm), "perm int, a long, b long"
-    )
-
-
 def minhash_signatures(
     docs: DataFrame,
     num_perm: int = 64,
@@ -272,26 +266,31 @@ def minhash_signatures(
     portable_hash: bool = False,
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures, fully JVM-side:
-    shingle → hash → broadcast perm table → groupBy min per perm →
-    pivot to array. min over ((a*h + b) mod p)."""
+    shingle → hash → ONE groupBy(id) with num_perm literal-constant min
+    aggregates (min over ((a*h + b) mod p)), assembled into the
+    signature array in permutation order.
+
+    r6 shape: the permutation constants are pure (minhash_perm_constants),
+    so they inline as literals — the former broadcast perm-table join
+    multiplied every shingle row num_perm× and fed TWO aggregation
+    exchanges ((id, perm) then (id)); this form is one map-side-combined
+    exchange with a bounded 64-long partial per id. Values are identical
+    (same arithmetic, same perm order — the DuckDB oracle still replays
+    the VALUES form)."""
     sh = _doc_shingles(docs, id_col, text_col, shingle_n).select(
         id_col,
         F.pmod(_hash64("shingle", portable_hash), F.lit(_MINHASH_P)).alias("h"),
     )
-    perms = F.broadcast(_perm_table(docs.sparkSession, num_perm))
-    mins = (
-        sh.join(perms)
-        .select(
-            id_col, "perm",
-            F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(_MINHASH_P)).alias("v"),
-        )
-        .groupBy(id_col, "perm")
-        .agg(F.min("v").alias("mh"))
-    )
-    return mins.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("perm", "mh"))), lambda s: s["mh"]
-        ).alias("sig")
+    consts = minhash_perm_constants(num_perm)
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MINHASH_P))
+        ).alias(f"_mh{i}")
+        for i, a, b in consts
+    ]
+    return sh.groupBy(id_col).agg(*mins).select(
+        id_col,
+        F.array(*[F.col(f"_mh{i}") for i, _, _ in consts]).alias("sig"),
     )
 
 
