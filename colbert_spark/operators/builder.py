@@ -953,16 +953,24 @@ def purge_pids(catalog, config: ColBERTConfig, avgdl: float,
     meta = catalog.read(ss, "postings").select(
         "first_pid", "last_pid", F.input_file_name().alias("src")
     )
-    hit_files = [
-        r["src"]
-        for r in meta.join(
+    # ONE action answers both planner questions (hit files AND total
+    # file count): a left range-join flags hit rows, the per-src max
+    # folds map-side to one row per file. Row multiplicity from blocks
+    # matching several pids collapses in the partial aggregate; |pids|
+    # is caller-bounded (max_purge_pids).
+    file_rows = (
+        meta.join(
             F.broadcast(pid_df),
             (F.col("pid") >= F.col("first_pid"))
             & (F.col("pid") <= F.col("last_pid")),
-            "left_semi",
-        ).select("src").distinct().collect()
-    ]
-    out["files_total"] = meta.select("src").distinct().count()
+            "left",
+        )
+        .groupBy("src")
+        .agg(F.max(F.col("pid").isNotNull().cast("int")).alias("hit"))
+        .collect()
+    )
+    hit_files = [r["src"] for r in file_rows if r["hit"]]
+    out["files_total"] = len(file_rows)
     out["hit_fraction"] = (
         len(hit_files) / out["files_total"] if out["files_total"] else 0.0
     )
