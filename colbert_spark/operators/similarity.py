@@ -348,17 +348,11 @@ def cosine_topk_ivf(
             [(int(r["vec_id"]), list(r["v"])) for r in cent_rows],
             "cell int, cv array<double>",
         )
-        ic = base.join(F.broadcast(cent_df)).select(
-            "vec_id", "v", "cell",
-            (_dot(F.col("v"), F.col("cv"))
-             / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("csim"),
-        )
-        wa = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
-        assigned = (
-            ic.withColumn("r", F.row_number().over(wa)).filter(F.col("r") == 1)
-            .select("vec_id", "v", "cell")
-            .withColumn("nv", _norm(F.col("v")))
-        )
+        # map-only strict-fold assignment (r6): same (csim DESC, cell
+        # ASC) winner as the explode→window form — pinned row-identical
+        # in tests/test_pq_kernel.py — minus the N×n_clusters blowup
+        # that carried the full vector payload through a window exchange
+        assigned = _assign_cells_first_k(base, cent_rows, include_vec=True)
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
 
@@ -496,6 +490,208 @@ def _subslices(col, m: int, sub: int):
     return F.array(*[F.slice(col, mi * sub + 1, sub) for mi in range(m)])
 
 
+def _strict_dot_matrix(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """dot(V_i, C_j) for every (row, codeword) pair with _dot's exact
+    arithmetic: acc = acc + x*y left-to-right over the element index.
+    One vectorized numpy step per element — numpy mul/add are single
+    IEEE-double ops (no FMA fusion), so every accumulator sees the same
+    operation sequence as the Catalyst aggregate fold and DuckDB's
+    list_dot_product (r6 kernel rule, same as the simhash xxhash64
+    replica: bit-exact or bust)."""
+    acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(V.shape[1]):
+        acc += V[:, i, None] * C[None, :, i]
+    return acc
+
+
+def _strict_sq_norms(V: np.ndarray) -> np.ndarray:
+    """⟨v, v⟩ per row with _norm's exact fold (acc = acc + v*v)."""
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for i in range(V.shape[1]):
+        acc += V[:, i] * V[:, i]
+    return acc
+
+
+def _vecs_matrix(col, dim: int) -> np.ndarray:
+    """pandas column of equal-length lists → (n, dim) float64, loud on
+    ragged input (Catalyst's zip_with would null-pad; no caller feeds
+    mixed dims, and silent divergence is worse than an error)."""
+    V = np.asarray(col.tolist(), dtype=np.float64)
+    if V.ndim != 2 or V.shape[1] != dim:
+        raise ValueError(
+            f"expected uniform dim-{dim} vectors, got shape {V.shape}")
+    return V
+
+
+def _make_cell_assign_kernel(cells: np.ndarray, C: np.ndarray,
+                             include_vec: bool):
+    """Map-only replacement for the first_k coarse-assignment
+    explode→window funnel: per row, csim_j = _dot(v, cv_j) / (_norm(v) *
+    _norm(cv_j)) with the identical strict fold, winner = Spark's
+    (csim DESC, cell ASC) row_number()==1 pick — NaN ranks above every
+    number in a Spark DESC sort, replicated in the comparison mask.
+    Emits (vec_id[, v], cell[, nv]); the N×n_clusters intermediate and
+    its window exchange never exist."""
+    import pandas as pd
+
+    nc = np.sqrt(_strict_sq_norms(C))
+    dim = C.shape[1]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _vecs_matrix(pdf["v"], dim)
+            nv = np.sqrt(_strict_sq_norms(V))
+            denom = nv[:, None] * nc[None, :]
+            if np.any(denom == 0.0):
+                # ANSI parity: the relational form's csim division raises
+                # DIVIDE_BY_ZERO on a zero-norm vector or centroid
+                raise ValueError(
+                    "zero-norm vector or centroid in cosine assignment")
+            csims = _strict_dot_matrix(V, C) / denom
+            best = csims[:, 0].copy()
+            best_cell = np.full(len(pdf), cells[0], dtype=np.int64)
+            for j in range(1, len(cells)):
+                c = csims[:, j]
+                better = (c > best) | (np.isnan(c) & ~np.isnan(best))
+                best = np.where(better, c, best)
+                best_cell = np.where(better, cells[j], best_cell)
+            cols = {"vec_id": pdf["vec_id"].to_numpy()}
+            if include_vec:
+                cols["v"] = pdf["v"]
+            cols["cell"] = best_cell.astype(np.int32)
+            out = pd.DataFrame(cols)
+            if include_vec:
+                out["nv"] = nv
+            yield out
+
+    return gen
+
+
+def _assign_cells_first_k(base: DataFrame, cent_rows, *,
+                          include_vec: bool) -> DataFrame:
+    """first_k coarse assignment as ONE map-only pass (the centroids are
+    already driver-local rows). include_vec additionally passes v through
+    and emits nv (the exact-scoring IVF path needs both; the PQ funnels
+    need only the slim (vec_id, cell))."""
+    cells = np.array([int(r["vec_id"]) for r in cent_rows], dtype=np.int64)
+    C = np.array([[float(x) for x in r["v"]] for r in cent_rows],
+                 dtype=np.float64)
+    gen = _make_cell_assign_kernel(cells, C, include_vec)
+    schema = ("vec_id long, v array<double>, cell int, nv double"
+              if include_vec else "vec_id long, cell int")
+    return base.mapInPandas(gen, schema=schema)
+
+
+def _make_pq_encode_kernel(cb_by_m: list, m: int, sub: int):
+    """Map-only PQ encode: per (row, subspace), dist_j = ⟨sv,sv⟩ −
+    2.0·⟨sv,cv_j⟩ + cn_j with the strict folds, winner = Spark's
+    min(struct(dist, cid, cn)) — smallest dist, tie → lowest cid, NaN
+    greater than every number. Emits the same (vec_id, m, code, cn) rows
+    as the relational _pq_encode without the N·m·k_sub explode-join or
+    its groupBy exchange."""
+    import pandas as pd
+
+    dim = m * sub
+    m_col_base = np.arange(m, dtype=np.int32)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _vecs_matrix(pdf["v"], dim)
+            n = len(pdf)
+            codes = np.empty((n, m), dtype=np.int32)
+            cns = np.empty((n, m), dtype=np.float64)
+            for mi in range(m):
+                sv = V[:, mi * sub:(mi + 1) * sub]
+                ss = _strict_sq_norms(sv)
+                cids, C, cn = cb_by_m[mi]
+                dist = (ss[:, None] - 2.0 * _strict_dot_matrix(sv, C)
+                        + cn[None, :])
+                best = dist[:, 0].copy()
+                bi = np.zeros(n, dtype=np.int64)
+                for j in range(1, len(cids)):
+                    d = dist[:, j]
+                    better = (d < best) | (np.isnan(best) & ~np.isnan(d))
+                    best = np.where(better, d, best)
+                    bi = np.where(better, j, bi)
+                codes[:, mi] = cids[bi]
+                cns[:, mi] = cn[bi]
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                "m": np.tile(m_col_base, n),
+                "code": codes.reshape(-1),
+                "cn": cns.reshape(-1),
+            })
+
+    return gen
+
+
+def _pq_encode_kernel(base: DataFrame, cb_rows: list, m: int,
+                      sub: int) -> DataFrame:
+    """Kernel-encode every vector from the driver-local codebook rows
+    [(mi, cid, cv)] — pinned row-identical to the relational _pq_encode
+    in tests/test_pq_kernel.py. cn re-uses _fold_dot exactly as the cb
+    table does, so downstream arithmetic sees the same doubles."""
+    cb_by_m: list = [None] * m
+    for mi in range(m):
+        entries = sorted((cid, cv) for mj, cid, cv in cb_rows if mj == mi)
+        cb_by_m[mi] = (
+            np.array([cid for cid, _ in entries], dtype=np.int64),
+            np.array([[float(x) for x in cv] for _, cv in entries],
+                     dtype=np.float64),
+            np.array([_fold_dot(cv, cv) for _, cv in entries],
+                     dtype=np.float64),
+        )
+    gen = _make_pq_encode_kernel(cb_by_m, m, sub)
+    return base.mapInPandas(gen,
+                            schema="vec_id long, m int, code int, cn double")
+
+
+def _pq_codebook_rows(spark, base: DataFrame, m: int, sub: int, k_sub: int,
+                      quantizer: str, seed: int, head_rows=None) -> list:
+    """Codebook rows [(mi, cid, cv)] — driver-local in BOTH quantizer
+    paths (first_k collects k_sub rows; kmeans's clusterCenters() are
+    driver-side by construction). head_rows lets a caller that already
+    collected the sorted head (the fused first_k collect) skip the extra
+    driver job."""
+    if quantizer == "first_k":
+        cent_rows = (head_rows[:k_sub] if head_rows is not None
+                     else base.orderBy("vec_id").limit(k_sub).collect())
+        return [
+            (mi, int(r["vec_id"]),
+             [float(x) for x in r["v"][mi * sub:(mi + 1) * sub]])
+            for r in cent_rows for mi in range(m)
+        ]
+    if quantizer != "kmeans":
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cb_rows = []
+    svs = base.select(
+        F.posexplode(_subslices(F.col("v"), m, sub)).alias("m", "sv")
+    )
+    for mi in range(m):
+        ml_df = svs.filter(F.col("m") == mi).select(
+            array_to_vector("sv").alias("features")
+        )
+        model = KMeans(k=k_sub, seed=seed + mi,
+                       featuresCol="features").fit(ml_df)
+        for cid, c in enumerate(model.clusterCenters()):
+            cb_rows.append((mi, cid, [float(x) for x in c]))
+    return cb_rows
+
+
+def _pq_codebook_df(spark, cb_rows: list) -> DataFrame:
+    return spark.createDataFrame(
+        [(mi, cid, cv, _fold_dot(cv, cv)) for mi, cid, cv in cb_rows],
+        "m int, cid int, cv array<double>, cn double",
+    )
+
+
 def _pq_codebook(spark, base: DataFrame, m: int, sub: int, k_sub: int,
                  quantizer: str, seed: int) -> DataFrame:
     """Per-subspace PQ codebook table (m, cid, cv, cn=⟨cv,cv⟩).
@@ -503,34 +699,8 @@ def _pq_codebook(spark, base: DataFrame, m: int, sub: int, k_sub: int,
     first_k: codewords are the sub-vectors of the k_sub lowest-id corpus
     vectors (fully deterministic → DuckDB-replayable). kmeans: one
     pyspark.ml KMeans per subspace (the quality path)."""
-    if quantizer == "first_k":
-        cent_rows = base.orderBy("vec_id").limit(k_sub).collect()
-        cb_rows = [
-            (mi, int(r["vec_id"]),
-             [float(x) for x in r["v"][mi * sub:(mi + 1) * sub]])
-            for r in cent_rows for mi in range(m)
-        ]
-    elif quantizer == "kmeans":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        cb_rows = []
-        svs = base.select(
-            F.posexplode(_subslices(F.col("v"), m, sub)).alias("m", "sv")
-        )
-        for mi in range(m):
-            ml_df = svs.filter(F.col("m") == mi).select(
-                array_to_vector("sv").alias("features")
-            )
-            model = KMeans(k=k_sub, seed=seed + mi,
-                           featuresCol="features").fit(ml_df)
-            for cid, c in enumerate(model.clusterCenters()):
-                cb_rows.append((mi, cid, [float(x) for x in c]))
-    else:
-        raise ValueError(f"unknown quantizer {quantizer!r}")
-    return spark.createDataFrame(
-        [(mi, cid, cv, _fold_dot(cv, cv)) for mi, cid, cv in cb_rows],
-        "m int, cid int, cv array<double>, cn double",
+    return _pq_codebook_df(
+        spark, _pq_codebook_rows(spark, base, m, sub, k_sub, quantizer, seed)
     )
 
 
@@ -629,13 +799,24 @@ def cosine_topk_pq(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    dim = len(base.select("v").first()[0])
+    # first_k: ONE driver collect answers dim AND the codebook (guide
+    # §2.6 job-count discipline — was first() + a second sorted collect)
+    if quantizer == "first_k":
+        head = base.orderBy("vec_id").limit(k_sub).collect()
+        if not head:
+            raise ValueError("cannot PQ-encode an empty items table")
+        dim = len(head[0]["v"])
+    else:
+        head = None
+        dim = len(base.select("v").first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
 
-    cb = _pq_codebook(spark, base, m, sub, k_sub, quantizer, seed)
-    codes = _pq_encode(base, cb, m, sub)
+    cb_rows = _pq_codebook_rows(spark, base, m, sub, k_sub, quantizer,
+                                seed, head_rows=head)
+    cb = _pq_codebook_df(spark, cb_rows)
+    codes = _pq_encode_kernel(base, cb_rows, m, sub)
 
     q = queries.select(
         F.col(qid_col).alias("qid"),
@@ -740,28 +921,30 @@ def cosine_topk_ivfpq(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    dim = len(base.select("v").first()[0])
+    # coarse quantizer → slim (vec_id, cell) assignment + centroid table.
+    # first_k: ONE driver collect of the sorted head answers dim, the
+    # centroids AND the PQ codebook (was three separate driver jobs), and
+    # assignment runs as a map-only strict-fold kernel — the N×n_clusters
+    # explode and its window exchange never exist (guide §2.4/§4.2).
+    head = None
+    if quantizer == "first_k":
+        head = base.orderBy("vec_id").limit(max(n_clusters, k_sub)).collect()
+        if not head:
+            raise ValueError("cannot index an empty items table")
+        dim = len(head[0]["v"])
+    else:
+        dim = len(base.select("v").first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
 
-    # coarse quantizer → slim (vec_id, cell) assignment + centroid table
     if quantizer == "first_k":
-        cent_rows = base.orderBy("vec_id").limit(n_clusters).collect()
+        cent_rows = head[:n_clusters]
         cent_df = spark.createDataFrame(
             [(int(r["vec_id"]), list(r["v"])) for r in cent_rows],
             "cell int, cv array<double>",
         )
-        ic = base.join(F.broadcast(cent_df)).select(
-            "vec_id", "cell",
-            (_dot(F.col("v"), F.col("cv"))
-             / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("csim"),
-        )
-        wa = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
-        assigned = (
-            ic.withColumn("r", F.row_number().over(wa)).filter(F.col("r") == 1)
-            .select("vec_id", "cell")
-        )
+        assigned = _assign_cells_first_k(base, cent_rows, include_vec=False)
     elif quantizer == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -781,8 +964,10 @@ def cosine_topk_ivfpq(
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
 
-    cb = _pq_codebook(spark, base, m, sub, k_sub, quantizer, seed)
-    codes = _pq_encode(base, cb, m, sub)
+    cb_rows = _pq_codebook_rows(spark, base, m, sub, k_sub, quantizer,
+                                seed, head_rows=head)
+    cb = _pq_codebook_df(spark, cb_rows)
+    codes = _pq_encode_kernel(base, cb_rows, m, sub)
 
     q = queries.select(
         F.col(qid_col).alias("qid"),
